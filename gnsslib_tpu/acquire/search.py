@@ -1,0 +1,173 @@
+"""Batched FFT acquisition search.
+
+Reference behavior (src/sdracq.c:14-95, sdrcmn.c:723-773):
+* per round: mix each Doppler bin, FFT-correlate against the code spectrum,
+  accumulate |corr|² non-coherently over up to ``intg`` rounds;
+* accept when (global peak)/(second peak outside ±2 chips) > ACQTH;
+* C/N0 = 10·log10(maxP / meanP / ctime).
+
+TPU redesign: all channels and Doppler bins advance together as one
+(C, F, nfft) batched pipeline (lax.map over channels bounds memory), all
+rounds run under one ``lax.fori_loop``, and the acceptance test is a pair
+of masked reductions.  The search accumulates the full ``intg`` rounds for
+every channel (the reference early-exits per channel to save CPU; on TPU
+the batch is one program and extra rounds only sharpen the statistics).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import codes
+from ..constants import (ACQHBAND, ACQINTG_L1CA, ACQSTEP, ACQTH, CodeType,
+                         DType)
+from ..ops import fftcorr, stats
+from ..ops.nco import frac
+
+
+@dataclasses.dataclass
+class AcqResult:
+    """Per-channel acquisition outcome (arrays of shape (C,))."""
+    acquired: np.ndarray   # bool
+    codei: np.ndarray      # code-phase sample offset in [0, nsamp)
+    freqi: np.ndarray      # Doppler bin index
+    acqfreq: np.ndarray    # acquired absolute carrier frequency (Hz)
+    dcarr: np.ndarray      # acqfreq - (f_if + foffset)  (Hz)
+    cn0: np.ndarray        # C/N0 estimate (dB-Hz)
+    peakr: np.ndarray      # first/second peak ratio
+
+
+class Acquirer:
+    """Precompiled acquisition program for a group of channels sharing one
+    front end (same f_sf / f_if / dtype / nsamp).
+
+    Parameters mirror initsdrch/initacqstruct (reference sdrinit.c:385-394,
+    623-653): per-channel PRN code spectra are precomputed, the Doppler
+    grid is f_if + foffset + k·step for k in [-hband/step, hband/step].
+    """
+
+    def __init__(self, prns, ctypes, f_sf: float, f_if: float, dtype: int,
+                 foffsets=None, hband: float = ACQHBAND,
+                 step: float = ACQSTEP, intg: int = ACQINTG_L1CA,
+                 thresh: float = ACQTH):
+        prns = list(prns)
+        C = len(prns)
+        ctypes = list(ctypes) if not np.isscalar(ctypes) else [ctypes] * C
+        foffsets = np.zeros(C) if foffsets is None else np.asarray(foffsets,
+                                                                   np.float64)
+        self.C = C
+        self.f_sf = f_sf
+        self.f_if = f_if
+        self.dtype = dtype
+        self.ti = 1.0 / f_sf
+        self.intg = int(intg)
+        self.thresh = float(thresh)
+        self.nfreq = int(2 * (hband / step) + 1)
+        self.step = step
+
+        # all supported L1 codes are 1 ms periods; nsamp from the first
+        code0, crate0 = codes.gencode(prns[0], ctypes[0])
+        ctime = len(code0) / crate0
+        self.ctime = ctime
+        self.nsamp = int(round(f_sf * ctime))
+        self.nfft = fftcorr.next_pow2(2 * self.nsamp)
+
+        # per-channel resampled-code spectra (C, nfft) complex64
+        codex = np.empty((C, self.nfft), np.complex64)
+        nsampchip = np.empty(C, np.int32)
+        for i, (prn, ct) in enumerate(zip(prns, ctypes)):
+            code, crate = codes.gencode(prn, ct)
+            clen = len(code)
+            nsampchip[i] = int(self.nsamp / clen)
+            idx = np.mod(np.floor(np.arange(self.nsamp, dtype=np.float64)
+                                  * crate / f_sf).astype(np.int64), clen)
+            rc = np.zeros(self.nfft, np.float32)
+            rc[:self.nsamp] = code[idx]
+            codex[i] = np.conj(np.fft.fft(rc)).astype(np.complex64)
+        self.codex = jnp.asarray(codex)
+        self.nsampchip = jnp.asarray(nsampchip)
+
+        # carrier base phase per channel: frac((f_if+foffset)*ti*i), f64->f32
+        nwin = 2 * self.nsamp
+        i64 = np.arange(nwin, dtype=np.float64)
+        base = np.mod((f_if + foffsets)[:, None] * self.ti * i64[None, :], 1.0)
+        self.base_phase = jnp.asarray(base.astype(np.float32))
+        # Doppler residual grid in cycles/sample (shared across channels)
+        k = np.arange(self.nfreq, dtype=np.float64) - (self.nfreq - 1) / 2
+        self.d_cps = jnp.asarray((k * step * self.ti).astype(np.float32))
+        self.dopp_hz = k * step
+        self.freqs_abs = (f_if + foffsets[:, None] + self.dopp_hz[None, :])
+        self._search = jax.jit(self._search_impl)
+
+    # -- device program ------------------------------------------------------
+    def _mix_one_channel(self, data, c):
+        """(F, nfft) carrier-wiped zero-padded data for channel c."""
+        nwin = 2 * self.nsamp
+        i = jnp.arange(nwin, dtype=jnp.float32)
+        ph = self.base_phase[c][None, :] + frac(self.d_cps[:, None] * i)
+        rot = jnp.exp((2j * jnp.pi) * ph.astype(jnp.complex64))
+        mixed = data[None, :nwin] * rot
+        return jnp.pad(mixed, ((0, 0), (0, self.nfft - nwin)))
+
+    def _search_impl(self, data_rounds):
+        """data_rounds: (intg, 2*nsamp) float32 or complex64 windows.
+
+        Returns P (C, F, nsamp) non-coherently integrated power.
+        """
+        def one_channel(c):
+            def one_round(r, acc):
+                mixed = self._mix_one_channel(data_rounds[r], c)
+                p = fftcorr.fft_correlate_power(mixed, self.codex[c],
+                                                self.nsamp)
+                return acc + p
+            acc0 = jnp.zeros((self.nfreq, self.nsamp), jnp.float32)
+            return jax.lax.fori_loop(0, self.intg, one_round, acc0)
+        return jax.lax.map(one_channel, jnp.arange(self.C))
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def check(self, P):
+        """Vectorized checkacquisition (reference src/sdracq.c:71-95)."""
+        C, F, n = P.shape
+        flat = P.reshape(C, F * n)
+        maxi = jnp.argmax(flat, axis=-1)
+        maxP = jnp.take_along_axis(flat, maxi[:, None], axis=-1)[:, 0]
+        codei = (maxi % n).astype(jnp.int32)
+        freqi = (maxi // n).astype(jnp.int32)
+        row = jnp.take_along_axis(
+            P, freqi[:, None, None], axis=1)[:, 0, :]      # (C, n)
+        lo = jnp.mod(codei - 2 * self.nsampchip, n)
+        hi = jnp.mod(codei + 2 * self.nsampchip, n)
+        mask = jax.vmap(lambda l, h: stats.exclusion_mask(n, l, h))(lo, hi)
+        meanP = stats.masked_mean(row, mask)
+        maxP2, _ = stats.masked_max(row, mask)
+        cn0 = 10.0 * jnp.log10(maxP / meanP / self.ctime)
+        peakr = maxP / maxP2
+        return codei, freqi, cn0, peakr
+
+    # -- host API --------------------------------------------------------------
+    def search(self, data: np.ndarray) -> AcqResult:
+        """Run a full acquisition over (intg+1) ms of samples.
+
+        ``data``: float32 (n,) real or complex64 (n,) I/Q window with at
+        least (intg+1)*nsamp samples, starting at the abs sample index the
+        caller tracks (the reference reads the latest (intg+1) ms,
+        src/sdracq.c:25).
+        """
+        nwin = 2 * self.nsamp
+        rounds = np.stack([data[r * self.nsamp: r * self.nsamp + nwin]
+                           for r in range(self.intg)])
+        P = self._search(jnp.asarray(rounds))
+        codei, freqi, cn0, peakr = self.check(P)
+        codei = np.asarray(codei)
+        freqi = np.asarray(freqi)
+        cn0 = np.asarray(cn0)
+        peakr = np.asarray(peakr)
+        acqfreq = self.freqs_abs[np.arange(self.C), freqi]
+        dcarr = self.dopp_hz[freqi]
+        return AcqResult(acquired=peakr > self.thresh, codei=codei,
+                         freqi=freqi, acqfreq=acqfreq, dcarr=dcarr,
+                         cn0=cn0, peakr=peakr)

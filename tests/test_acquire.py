@@ -1,0 +1,87 @@
+"""Acquisition tests on synthesized IF signals with known truth.
+
+Mirrors BASELINE.md staged config 1: single/multi-PRN FFT acquisition must
+recover (codei, Doppler bin, peak ratio) and reject absent PRNs.
+"""
+import numpy as np
+
+from gnsslib_tpu import sim
+from gnsslib_tpu.acquire import Acquirer
+from gnsslib_tpu.constants import CodeType, DType
+
+F_SF = 16.368e6
+F_IF = 4.092e6
+NSAMP = 16368
+
+
+def test_acquisition_multi_prn_real_sampling():
+    truth = {
+        2: (3000.0, 2500),    # prn: (doppler Hz, code offset samples)
+        9: (-1800.0, 11111),
+        17: (200.0, 0),
+        23: (-4600.0, 16000),
+    }
+    chans = []
+    for prn, (dop, off) in truth.items():
+        chans.append(sim.SimChannel(
+            prn=prn, doppler=dop,
+            code_phase=-off * 1.023e6 / F_SF,
+            carr_phase=0.37 * prn, amplitude=1.0))
+    nsamples = 12 * NSAMP
+    noise = sim.noise_std_for_cn0(1.0, 45.0, F_SF, DType.REAL)
+    data = sim.synthesize(chans, F_SF, F_IF, DType.REAL, nsamples,
+                          noise_std=noise, seed=42)
+
+    prns = [2, 5, 9, 17, 23]     # prn 5 is absent -> must not acquire
+    acq = Acquirer(prns, [CodeType.L1CA] * 5, F_SF, F_IF, DType.REAL,
+                   intg=10)
+    res = acq.search(np.asarray(data, np.float32))
+
+    for i, prn in enumerate(prns):
+        if prn == 5:
+            assert not res.acquired[i], "absent PRN must fail the peak test"
+            continue
+        dop, off = truth[prn]
+        assert res.acquired[i], f"PRN {prn} not acquired"
+        # Doppler within one 200 Hz step; detected dcarr = -D
+        assert abs(res.dcarr[i] + dop) <= 200.0 + 1e-6
+        # code phase within 1 sample (code Doppler drift < 1 sample here)
+        derr = min(abs(res.codei[i] - off), NSAMP - abs(res.codei[i] - off))
+        assert derr <= 1, f"PRN {prn}: codei {res.codei[i]} vs {off}"
+        assert res.cn0[i] > 38.0
+
+
+def test_acquisition_iq_sampling():
+    f_sf, f_if = 2.048e6, 0.0
+    nsamp = 2048
+    ch = sim.SimChannel(prn=12, doppler=1500.0,
+                        code_phase=-500 * 1.023e6 / f_sf)
+    noise = sim.noise_std_for_cn0(1.0, 45.0, f_sf, DType.IQ)
+    x = sim.synthesize([ch], f_sf, f_if, DType.IQ, 12 * nsamp,
+                       noise_std=noise, seed=7)
+    data = (x[:, 0] + 1j * x[:, 1]).astype(np.complex64)
+    acq = Acquirer([12], [CodeType.L1CA], f_sf, f_if, DType.IQ, intg=10)
+    res = acq.search(data)
+    assert res.acquired[0]
+    assert abs(res.dcarr[0] + 1500.0) <= 200.0 + 1e-6
+    derr = min(abs(res.codei[0] - 500), nsamp - abs(res.codei[0] - 500))
+    assert derr <= 1
+
+
+def test_acquisition_glonass_fdma():
+    """GLONASS channel with FDMA foffset acquires at the offset grid."""
+    f_sf, f_if = 16.368e6, 4.092e6
+    foff = 2 * 0.5625e6  # frequency slot k=2
+    nsamp = int(f_sf * 511 / 0.511e6)
+    ch = sim.SimChannel(prn=2, ctype=CodeType.G1, doppler=-1000.0,
+                        code_phase=0.0, foffset=foff, f_cf=1.602e9 + foff)
+    noise = sim.noise_std_for_cn0(1.0, 48.0, f_sf, DType.REAL)
+    x = sim.synthesize([ch], f_sf, f_if, DType.REAL, 12 * nsamp,
+                       noise_std=noise, seed=3)
+    acq = Acquirer([2], [CodeType.G1], f_sf, f_if, DType.REAL,
+                   foffsets=[foff], intg=10)
+    assert acq.nsamp == nsamp
+    res = acq.search(np.asarray(x, np.float32))
+    assert res.acquired[0]
+    assert abs(res.dcarr[0] - 1000.0) <= 200.0 + 1e-6
+    assert abs(res.acqfreq[0] - (f_if + foff + 1000.0)) <= 200.0 + 1e-6
