@@ -1,0 +1,348 @@
+"""The tracking scan: batched per-code-period correlation + DLL/PLL/FLL.
+
+Faithful re-expression of the reference per-channel thread loop
+(sdrmain.c:264-313, sdrtrk.c) as one ``lax.scan`` over code periods with
+every channel advanced per step via ``vmap``:
+
+* variable per-period block length (sdrtrk.c:31-33) -> fixed window +
+  sample mask + rounded period length (ops.nco.period_samples);
+* correlator (sdrcmn.c:687-722) -> batched einsum taps (ops.correlator);
+* the reference stores the cos-mixed channel in trk.QQ and the sin-mixed
+  channel in trk.II (argument swap at sdrtrk.c:40-43), so here
+  IP = corr.imag, QP = corr.real;
+* cumsumcorr/clearcumsumcorr (sdrtrk.c:64-86) -> sum/oldsum carries;
+* pll/dll (sdrtrk.c:94-150) -> identical discriminators and 2nd-order
+  NCO updates, gated per channel (pre bit-sync: every period with prm1;
+  after: every ``loop`` periods aligned to the host-detected bit phase,
+  with prm2) — the reference's swloop cadence (sdrnav.c:241-282).
+
+Host <-> device contract: the host feeds sample blocks and harvests
+per-period outputs (prompt I/Q for nav-bit decoding, loop telemetry for
+observables/logs); it never touches the feedback path.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import codes
+from ..constants import PI, CodeType, DType
+from ..ops import correlator as corr_ops
+from ..ops.nco import NSPAN, frac
+from .state import TrackConfig, TrackState, loop_interval
+
+
+@dataclasses.dataclass
+class TrackOutputs:
+    """Per-period telemetry, host-side numpy arrays shaped (steps, C, ...)."""
+    ip: np.ndarray          # prompt I (the data channel)
+    qp: np.ndarray          # prompt Q
+    sum_i: np.ndarray       # (steps, C, ntaps) accumulated taps (at update)
+    sum_q: np.ndarray
+    loc: np.ndarray         # (steps, C) int32 period-start offset in block
+    n: np.ndarray           # (steps, C) int32 period length (samples)
+    remcode: np.ndarray     # (steps, C) f32 chips at period start
+    remcarr: np.ndarray     # (steps, C) f32 cycles at period start
+    dcarr: np.ndarray       # (steps, C) f32 Hz (carrfreq - f_if - foffset)
+    dcode: np.ndarray       # (steps, C) f32 Hz (codefreq - crate)
+    carr_err: np.ndarray    # (steps, C)
+    code_err: np.ndarray
+    carr_nco: np.ndarray
+    code_nco: np.ndarray
+    flagloopfilter: np.ndarray  # (steps, C) int32: 0 none, 1 prm1, 2 prm2
+
+
+class Tracker:
+    """Compiled tracking program for a group of channels sharing a front end
+    (same f_sf / f_if / dtype; code family may differ per channel)."""
+
+    def __init__(self, cfg: TrackConfig, prns, ctypes, f_sf: float,
+                 f_if: float, dtype: int, foffsets=None, f_cfs=None):
+        prns = list(prns)
+        C = len(prns)
+        ctypes = [int(c) for c in (ctypes if not np.isscalar(ctypes)
+                                   else [ctypes] * C)]
+        foffsets = np.zeros(C) if foffsets is None else np.asarray(
+            foffsets, np.float64)
+        if f_cfs is None:
+            f_cfs = np.full(C, 1.57542e9)
+        f_cfs = np.asarray(f_cfs, np.float64)
+
+        self.cfg = cfg
+        self.C = C
+        self.f_sf = f_sf
+        self.f_if = f_if
+        self.dtype = int(dtype)
+        self.ti = 1.0 / f_sf
+
+        # per-channel code constants
+        codes_list, crates, clens = [], [], []
+        for prn, ct in zip(prns, ctypes):
+            code, crate = codes.gencode(prn, ct)
+            codes_list.append(code)
+            crates.append(crate)
+            clens.append(len(code))
+        clen_max = max(clens)
+        code_mat = np.zeros((C, clen_max), np.int8)
+        for i, c in enumerate(codes_list):
+            code_mat[i, :len(c)] = c
+        self.codes = jnp.asarray(code_mat)
+        self.clen = jnp.asarray(np.asarray(clens, np.int32))
+        self.crate = np.asarray(crates, np.float64)
+        self.ctime = np.asarray(clens, np.float64) / self.crate
+        nsamp = np.round(f_sf * self.ctime).astype(np.int64)
+        assert np.all(nsamp == nsamp[0]), \
+            "channels in one tracker group must share the 1 ms period"
+        self.n_nom = int(nsamp[0])
+        self.nwin = self.n_nom + 2 * NSPAN + 4
+        self.smax = cfg.smax
+        self.next = self.nwin + 2 * self.smax
+        self.offsets = corr_ops.tap_offsets(cfg.corrn, cfg.corrd)
+        self.loop = jnp.asarray(
+            np.asarray([loop_interval(ct) for ct in ctypes], np.int32))
+
+        # exact base tables, per channel where they differ
+        i64 = np.arange(self.next, dtype=np.float64)
+        ci0 = self.crate * self.ti                       # (C,)
+        chips = ci0[:, None] * i64[None, :]
+        self.chip_int = jnp.asarray(np.floor(chips).astype(np.int32))
+        self.chip_frac = jnp.asarray((chips - np.floor(chips))
+                                     .astype(np.float32))
+        self.ci0 = jnp.asarray(ci0.astype(np.float32))
+        ks = self.n_nom + np.arange(-NSPAN, NSPAN + 1, dtype=np.float64)
+        self.code_adv = jnp.asarray(
+            (ci0[:, None] * ks[None, :] - np.asarray(clens, np.float64)[:, None])
+            .astype(np.float32))
+
+        f_base = f_if + foffsets                          # (C,)
+        ph = np.mod(f_base[:, None] * self.ti * i64[None, :self.nwin], 1.0)
+        self.base_phase = jnp.asarray(ph.astype(np.float32))
+        self.carr_adv = jnp.asarray(
+            np.mod(f_base[:, None] * self.ti * ks[None, :], 1.0)
+            .astype(np.float32))
+        # carrier-aiding scale crate/f_cf (sdrtrk.c:147-148)
+        self.aid = jnp.asarray((self.crate / f_cfs).astype(np.float32))
+        self.dt1 = jnp.asarray(self.ctime.astype(np.float32))  # prm1 dt
+        self.dt2 = jnp.asarray((self.ctime *
+                                np.asarray([loop_interval(ct) for ct in ctypes]))
+                               .astype(np.float32))            # prm2 dt
+
+    # ------------------------------------------------------------------ #
+    def init_state(self) -> TrackState:
+        return TrackState.init(self.C, self.cfg.ntaps)
+
+    def start_channels(self, state: TrackState, idx, loc, dcarr) -> TrackState:
+        """Begin tracking channels ``idx`` at block offsets ``loc`` with
+        acquisition carrier offsets ``dcarr`` (Hz) — the acquisition ->
+        tracking handoff (sdracq.c:51-56: remcode=0, codefreq=crate,
+        carrfreq=acqfreq)."""
+        idx = np.asarray(idx, np.int64)
+        upd = lambda a, v: a.at[idx].set(jnp.asarray(v, a.dtype))
+        return dataclasses.replace(
+            state,
+            loc=upd(state.loc, loc),
+            dcarr_acq=upd(state.dcarr_acq, dcarr),
+            remcode=upd(state.remcode, 0.0),
+            remcarr=upd(state.remcarr, 0.0),
+            carr_nco=upd(state.carr_nco, 0.0),
+            code_nco=upd(state.code_nco, 0.0),
+            cnt=upd(state.cnt, 0),
+            active=state.active.at[idx].set(True),
+        )
+
+    def set_bit_sync(self, state: TrackState, ch: int, sync_offset: int
+                     ) -> TrackState:
+        """Host reports nav bit sync for one channel: switch to prm2 cadence
+        with loop updates at cnt ≡ sync_offset (mod loop)."""
+        return dataclasses.replace(
+            state,
+            flagsync=state.flagsync.at[ch].set(True),
+            sync_offset=state.sync_offset.at[ch].set(int(sync_offset)),
+        )
+
+    # ------------------------------------------------------------------ #
+    def _channel_step(self, block, c, st):
+        """One code period for channel c. st: per-channel slice dict."""
+        cfg = self.cfg
+        ci = self.ci0[c] + st["dci"]
+        # period length: n = round((clen - remcode)/ci) clamped (ops.nco)
+        n = jnp.round((self.clen[c].astype(jnp.float32) - st["remcode"]) / ci
+                      ).astype(jnp.int32)
+        n = jnp.clip(n, self.n_nom - NSPAN, self.n_nom + NSPAN)
+
+        # --- correlate ------------------------------------------------ #
+        win = jax.lax.dynamic_slice_in_dim(block, st["loc"], self.nwin)
+        i = jnp.arange(self.nwin, dtype=jnp.float32)
+        ph = frac(self.base_phase[c] + frac(st["dcps"] * i) + st["remcarr"])
+        rot = jnp.exp((2j * PI) * ph.astype(jnp.complex64))
+        mixed = win.astype(jnp.complex64) * rot
+
+        ii = jnp.arange(self.next, dtype=jnp.float32)
+        shift = st["remcode"] + st["dci"] * ii - ci * self.smax
+        chip = self.chip_int[c] + jnp.floor(self.chip_frac[c] + shift
+                                            ).astype(jnp.int32)
+        rcode = jnp.take(self.codes[c], jnp.mod(chip, self.clen[c]), axis=0
+                         ).astype(jnp.float32)
+        z = corr_ops.correlate_taps(mixed, rcode, self.offsets, self.smax, n)
+        # reference I/Q mapping: trk.II=sin channel, trk.QQ=cos channel
+        cur_i = z.imag
+        cur_q = z.real
+
+        # --- cumulative sums (sdrtrk.c:64-76; ocode polarity=+1 for
+        # L1CA/G1/SBAS, sdrinit.c:519-558) ------------------------------ #
+        sum_i = st["sum_i"] + cur_i
+        sum_q = st["sum_q"] + cur_q
+        oldsum_i = st["oldsum_i"] + st["prev_i"]
+        oldsum_q = st["oldsum_q"] + st["prev_q"]
+
+        # --- loop filter gating (sdrmain.c:271-280) --------------------- #
+        cnt1 = st["cnt"] + 1
+        swloop = jnp.mod(cnt1 - st["sync_offset"], self.loop[c]) == 0
+        do1 = ~st["flagsync"]
+        do2 = st["flagsync"] & swloop
+        update = do1 | do2
+        flagloop = jnp.where(do1, 1, jnp.where(do2, 2, 0)).astype(jnp.int32)
+        dt = jnp.where(do1, self.dt1[c], self.dt2[c])
+
+        def pick(a, b):
+            return jnp.where(do1, a, b)
+        p = cfg.prm1
+        q = cfg.prm2
+        pllaw = pick(p.pllaw, q.pllaw)
+        pllw2 = pick(p.pllw2, q.pllw2)
+        fllw = pick(p.fllw, q.fllw)
+        dllaw = pick(p.dllaw, q.dllaw)
+        dllw2 = pick(p.dllw2, q.dllw2)
+
+        # PLL + FLL discriminators (sdrtrk.c:94-125)
+        IP, QP = sum_i[0], sum_q[0]
+        oIP, oQP = oldsum_i[0], oldsum_q[0]
+        carr_err = jnp.where(
+            IP > 0, jnp.arctan2(QP, IP), jnp.arctan2(-QP, -IP)) / PI
+        f1 = jnp.where(IP == 0, PI / 2, jnp.arctan(QP / jnp.where(
+            IP == 0, 1.0, IP)))
+        f2 = jnp.where(oIP == 0, PI / 2, jnp.arctan(oQP / jnp.where(
+            oIP == 0, 1.0, oIP)))
+        freq_err = f1 - f2
+        freq_err = jnp.where(freq_err > PI / 2, PI - freq_err, freq_err)
+        freq_err = jnp.where(freq_err < -PI / 2, -PI - freq_err, freq_err)
+        carr_nco_new = (st["carr_nco"] + pllaw * (carr_err - st["carr_err"])
+                        + pllw2 * dt * carr_err + fllw * dt * freq_err)
+
+        # DLL (sdrtrk.c:133-150)
+        IE, QE = sum_i[cfg.ne], sum_q[cfg.ne]
+        IL, QL = sum_i[cfg.nl], sum_q[cfg.nl]
+        eE = jnp.sqrt(IE * IE + QE * QE)
+        eL = jnp.sqrt(IL * IL + QL * QL)
+        code_err = (eE - eL) / jnp.maximum(eE + eL, 1e-12)
+        code_nco_new = (st["code_nco"] + dllaw * (code_err - st["code_err"])
+                        + dllw2 * dt * code_err)
+
+        carr_nco = jnp.where(update, carr_nco_new, st["carr_nco"])
+        code_nco = jnp.where(update, code_nco_new, st["code_nco"])
+        carr_err_c = jnp.where(update, carr_err, st["carr_err"])
+        code_err_c = jnp.where(update, code_err, st["code_err"])
+        freq_err_c = jnp.where(update, freq_err, st["freq_err"])
+
+        dcarr_hz = st["dcarr_acq"] + carr_nco
+        dcode_hz = -code_nco + dcarr_hz * self.aid[c]
+
+        # --- advance phases with the OLD freqs used for this period ----- #
+        k = n - self.n_nom + NSPAN
+        remcode = st["remcode"] + self.code_adv[c, k] + st["dci"] * \
+            n.astype(jnp.float32)
+        remcarr = frac(st["remcarr"] + self.carr_adv[c, k]
+                       + frac(st["dcps"] * n.astype(jnp.float32)))
+
+        out = dict(
+            ip=cur_i[0], qp=cur_q[0], sum_i=sum_i, sum_q=sum_q,
+            loc=st["loc"], n=n, remcode=st["remcode"],
+            remcarr=st["remcarr"], dcarr=dcarr_hz, dcode=dcode_hz,
+            carr_err=carr_err_c, code_err=code_err_c,
+            carr_nco=carr_nco, code_nco=code_nco,
+            flagloopfilter=flagloop,
+        )
+
+        clear = update  # clearcumsumcorr when the loop filter ran
+        znt = jnp.zeros_like(sum_i)
+        new = dict(
+            loc=st["loc"] + n, cnt=cnt1,
+            remcode=remcode, remcarr=remcarr,
+            dcps=(st["dcarr_acq"] + carr_nco) * self.ti,
+            dci=(-code_nco + (st["dcarr_acq"] + carr_nco) * self.aid[c])
+                * self.ti,
+            carr_nco=carr_nco, code_nco=code_nco,
+            carr_err=carr_err_c, code_err=code_err_c, freq_err=freq_err_c,
+            sum_i=jnp.where(clear, znt, sum_i),
+            sum_q=jnp.where(clear, znt, sum_q),
+            oldsum_i=jnp.where(clear, znt, oldsum_i),
+            oldsum_q=jnp.where(clear, znt, oldsum_q),
+            prev_i=cur_i, prev_q=cur_q,
+        )
+        return new, out
+
+    # ------------------------------------------------------------------ #
+    def _state_to_dict(self, s: TrackState):
+        return dict(
+            loc=s.loc, cnt=s.cnt, remcode=s.remcode, remcarr=s.remcarr,
+            dcps=(s.dcarr_acq + s.carr_nco) * self.ti,
+            dci=(-s.code_nco + (s.dcarr_acq + s.carr_nco) * self.aid)
+                * self.ti,
+            dcarr_acq=s.dcarr_acq, carr_nco=s.carr_nco, carr_err=s.carr_err,
+            freq_err=s.freq_err, code_nco=s.code_nco, code_err=s.code_err,
+            sum_i=s.sum_i, sum_q=s.sum_q,
+            oldsum_i=s.oldsum_i, oldsum_q=s.oldsum_q,
+            prev_i=s.prev_i, prev_q=s.prev_q,
+            flagsync=s.flagsync, sync_offset=s.sync_offset, active=s.active,
+        )
+
+    def _dict_to_state(self, d, template: TrackState) -> TrackState:
+        return dataclasses.replace(
+            template, loc=d["loc"], cnt=d["cnt"], remcode=d["remcode"],
+            remcarr=d["remcarr"], carr_nco=d["carr_nco"],
+            carr_err=d["carr_err"], freq_err=d["freq_err"],
+            code_nco=d["code_nco"], code_err=d["code_err"],
+            sum_i=d["sum_i"], sum_q=d["sum_q"],
+            oldsum_i=d["oldsum_i"], oldsum_q=d["oldsum_q"],
+            prev_i=d["prev_i"], prev_q=d["prev_q"],
+        )
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _run(self, carry, block, nsteps: int):
+        chans = jnp.arange(self.C)
+
+        def step(st, _):
+            def one(c, stc):
+                new, out = self._channel_step(block, c, stc)
+                # inactive channels: freeze the whole carry
+                act = stc["active"]
+                merged = {k: jnp.where(act, new[k], stc[k]) if k in new
+                          else stc[k] for k in stc}
+                return merged, out
+            new, out = jax.vmap(one, in_axes=(0, 0))(chans, st)
+            return new, out
+
+        return jax.lax.scan(step, carry, None, length=nsteps)
+
+    def run_block(self, state: TrackState, block, nsteps: int
+                  ) -> tuple[TrackState, TrackOutputs]:
+        """Advance every active channel ``nsteps`` code periods through
+        ``block`` (device array, f32 real or c64 I/Q samples).
+
+        The caller guarantees max(loc) + nsteps*(n_nom+NSPAN) + nwin
+        <= len(block).
+        """
+        carry = self._state_to_dict(state)
+        carry, outs = self._run(carry, block, int(nsteps))
+        new_state = self._dict_to_state(carry, state)
+        outs = {k: np.asarray(v) for k, v in outs.items()}
+        return new_state, TrackOutputs(**outs)
+
+    def rebase(self, state: TrackState, advance: int) -> TrackState:
+        """Shift block-relative sample offsets after the host advances the
+        sample window by ``advance`` samples (the ring-buffer equivalent)."""
+        return dataclasses.replace(state, loc=state.loc - int(advance))
