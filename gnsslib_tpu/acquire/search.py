@@ -77,6 +77,9 @@ class Acquirer:
         self.nfft = fftcorr.next_pow2(2 * self.nsamp)
 
         # per-channel resampled-code spectra (C, nfft) complex64
+        # (shipped to device as stacked re/im float32: complex arrays must
+        # not cross the host<->device boundary — unsupported on the axon
+        # TPU relay, and re/im planes transfer just as fast)
         codex = np.empty((C, self.nfft), np.complex64)
         nsampchip = np.empty(C, np.int32)
         for i, (prn, ct) in enumerate(zip(prns, ctypes)):
@@ -88,48 +91,66 @@ class Acquirer:
             rc = np.zeros(self.nfft, np.float32)
             rc[:self.nsamp] = code[idx]
             codex[i] = np.conj(np.fft.fft(rc)).astype(np.complex64)
-        self.codex = jnp.asarray(codex)
-        self.nsampchip = jnp.asarray(nsampchip)
 
         # carrier base phase per channel: frac((f_if+foffset)*ti*i), f64->f32
         nwin = 2 * self.nsamp
         i64 = np.arange(nwin, dtype=np.float64)
         base = np.mod((f_if + foffsets)[:, None] * self.ti * i64[None, :], 1.0)
-        self.base_phase = jnp.asarray(base.astype(np.float32))
         # Doppler residual grid in cycles/sample (shared across channels)
         k = np.arange(self.nfreq, dtype=np.float64) - (self.nfreq - 1) / 2
-        self.d_cps = jnp.asarray((k * step * self.ti).astype(np.float32))
         self.dopp_hz = k * step
         self.freqs_abs = (f_if + foffsets[:, None] + self.dopp_hz[None, :])
+        # device buffers travel as jit ARGUMENTS (closure arrays would be
+        # embedded as HLO constants — slow to compile, unsupported on
+        # remote-compile TPU backends)
+        self._consts = dict(
+            codex_ri=jnp.asarray(np.stack([codex.real, codex.imag], axis=1)
+                                 .astype(np.float32)),
+            nsampchip=jnp.asarray(nsampchip),
+            base_phase=jnp.asarray(base.astype(np.float32)),
+            d_cps=jnp.asarray((k * step * self.ti).astype(np.float32)),
+        )
         self._search = jax.jit(self._search_impl)
 
     # -- device program ------------------------------------------------------
-    def _mix_one_channel(self, data, c):
-        """(F, nfft) carrier-wiped zero-padded data for channel c."""
+    def _mix_one_channel(self, data, base_phase_c, d_cps):
+        """(F, nfft) carrier-wiped zero-padded data for one channel.
+
+        ``data``: (2*nsamp,) float32 real samples or (2*nsamp, 2) float32
+        stacked I/Q (complex is built in-program)."""
         nwin = 2 * self.nsamp
         i = jnp.arange(nwin, dtype=jnp.float32)
-        ph = self.base_phase[c][None, :] + frac(self.d_cps[:, None] * i)
+        ph = base_phase_c[None, :] + frac(d_cps[:, None] * i)
         rot = jnp.exp((2j * jnp.pi) * ph.astype(jnp.complex64))
-        mixed = data[None, :nwin] * rot
+        if data.ndim == 2:
+            d = jax.lax.complex(data[:nwin, 0], data[:nwin, 1])
+        else:
+            d = data[:nwin].astype(jnp.complex64)
+        mixed = d[None, :] * rot
         return jnp.pad(mixed, ((0, 0), (0, self.nfft - nwin)))
 
-    def _search_impl(self, data_rounds):
-        """data_rounds: (intg, 2*nsamp) float32 or complex64 windows.
+    def _search_impl(self, data_rounds, consts):
+        """data_rounds: (intg, 2*nsamp[, 2]) float32 windows.
 
         Returns P (C, F, nsamp) non-coherently integrated power.
         """
-        def one_channel(c):
+        d_cps = consts["d_cps"]
+
+        def one_channel(args):
+            codex_ri, base_c = args
+            codex_c = jax.lax.complex(codex_ri[0], codex_ri[1])
+
             def one_round(r, acc):
-                mixed = self._mix_one_channel(data_rounds[r], c)
-                p = fftcorr.fft_correlate_power(mixed, self.codex[c],
-                                                self.nsamp)
+                mixed = self._mix_one_channel(data_rounds[r], base_c, d_cps)
+                p = fftcorr.fft_correlate_power(mixed, codex_c, self.nsamp)
                 return acc + p
             acc0 = jnp.zeros((self.nfreq, self.nsamp), jnp.float32)
             return jax.lax.fori_loop(0, self.intg, one_round, acc0)
-        return jax.lax.map(one_channel, jnp.arange(self.C))
+        return jax.lax.map(one_channel, (consts["codex_ri"],
+                                         consts["base_phase"]))
 
     @functools.partial(jax.jit, static_argnums=0)
-    def check(self, P):
+    def check(self, P, nsampchip):
         """Vectorized checkacquisition (reference src/sdracq.c:71-95)."""
         C, F, n = P.shape
         flat = P.reshape(C, F * n)
@@ -139,8 +160,8 @@ class Acquirer:
         freqi = (maxi // n).astype(jnp.int32)
         row = jnp.take_along_axis(
             P, freqi[:, None, None], axis=1)[:, 0, :]      # (C, n)
-        lo = jnp.mod(codei - 2 * self.nsampchip, n)
-        hi = jnp.mod(codei + 2 * self.nsampchip, n)
+        lo = jnp.mod(codei - 2 * nsampchip, n)
+        hi = jnp.mod(codei + 2 * nsampchip, n)
         mask = jax.vmap(lambda l, h: stats.exclusion_mask(n, l, h))(lo, hi)
         meanP = stats.masked_mean(row, mask)
         maxP2, _ = stats.masked_max(row, mask)
@@ -152,16 +173,20 @@ class Acquirer:
     def search(self, data: np.ndarray) -> AcqResult:
         """Run a full acquisition over (intg+1) ms of samples.
 
-        ``data``: float32 (n,) real or complex64 (n,) I/Q window with at
-        least (intg+1)*nsamp samples, starting at the abs sample index the
-        caller tracks (the reference reads the latest (intg+1) ms,
-        src/sdracq.c:25).
+        ``data``: (n,) float32 real, (n, 2) float32 stacked I/Q, or (n,)
+        complex (converted host-side) with at least (intg+1)*nsamp samples,
+        starting at the abs sample index the caller tracks (the reference
+        reads the latest (intg+1) ms, src/sdracq.c:25).
         """
+        data = np.asarray(data)
+        if np.iscomplexobj(data):
+            data = np.stack([data.real, data.imag], axis=-1)
+        data = data.astype(np.float32)
         nwin = 2 * self.nsamp
         rounds = np.stack([data[r * self.nsamp: r * self.nsamp + nwin]
                            for r in range(self.intg)])
-        P = self._search(jnp.asarray(rounds))
-        codei, freqi, cn0, peakr = self.check(P)
+        P = self._search(jnp.asarray(rounds), self._consts)
+        codei, freqi, cn0, peakr = self.check(P, self._consts["nsampchip"])
         codei = np.asarray(codei)
         freqi = np.asarray(freqi)
         cn0 = np.asarray(cn0)

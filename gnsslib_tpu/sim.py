@@ -107,73 +107,58 @@ def write_if_file(path: str, x: np.ndarray, scale: float = 16.0) -> None:
     quantize_int8(x, scale).ravel().tofile(path)
 
 
-def lnav_subframe_bits(tow6: int, subframe_id: int, week10: int = 0,
-                       prev_d29: int = 0, prev_d30: int = 0,
-                       payload_seed: int = 1234) -> np.ndarray:
-    """Build one valid 300-bit GPS LNAV subframe (±1, transmitted order).
+def example_eph(prn: int = 1, week: int = 2200, toe_tow: float = 352800.0):
+    """A plausible GPS ephemeris for round-trip tests (values on LNAV scale
+    grids so encode->decode is exact)."""
+    from .gtime import gpst2time
+    from .nav.eph import SdrEph
+    from .nav.lnav import (P2_5, P2_19, P2_29, P2_31, P2_33, P2_43, P2_55,
+                           SC2RAD)
+    e = SdrEph(prn=prn)
+    ep = e.eph
+    ep.week, ep.iode, ep.iodc = week, 77, 77
+    ep.sva, ep.svh, ep.code, ep.flag = 1, 0, 1, 0
+    ep.toes = toe_tow
+    ep.toe = gpst2time(week, toe_tow)
+    ep.toc = gpst2time(week, toe_tow)
+    ep.A = (5153.625 // P2_19 * P2_19) ** 2
+    ep.e = round(0.012 / P2_33) * P2_33
+    ep.i0 = round(0.31 / P2_31) * P2_31 * SC2RAD
+    ep.OMG0 = round(-0.27 / P2_31) * P2_31 * SC2RAD
+    ep.omg = round(0.45 / P2_31) * P2_31 * SC2RAD
+    ep.M0 = round(0.12 / P2_31) * P2_31 * SC2RAD
+    ep.deln = round(1.4e-9 / P2_43) * P2_43 * SC2RAD
+    ep.OMGd = round(-2.5e-9 / P2_43) * P2_43 * SC2RAD
+    ep.idot = round(2.0e-10 / P2_43) * P2_43 * SC2RAD
+    ep.crc = round(221.0 / P2_5) * P2_5
+    ep.crs = round(-93.0 / P2_5) * P2_5
+    ep.cuc = round(-4.5e-6 / P2_29) * P2_29
+    ep.cus = round(7.8e-6 / P2_29) * P2_29
+    ep.cic = round(-1.1e-7 / P2_29) * P2_29
+    ep.cis = round(9.0e-8 / P2_29) * P2_29
+    ep.f0 = round(2.3e-4 / P2_31) * P2_31
+    ep.f1 = round(1.1e-11 / P2_43) * P2_43
+    ep.f2 = 0.0
+    ep.tgd = (round(-1.0e-8 / P2_31) * P2_31, 0.0, 0.0, 0.0)
+    ep.fit = 0
+    return e
 
-    Constructs TLM+HOW with correct IS-GPS-200 parity on every word —
-    enough structure for preamble search, parity check, and TOW/subframe-ID
-    decoding tests.  tow6 is the truncated TOW count (17 bits; TOW of the
-    NEXT subframe / 6 s).
-    """
-    rng = np.random.default_rng(payload_seed + subframe_id)
 
-    def parity(d, b29, b30):
-        # IS-GPS-200 20.3.5.2 parity equations (src/sdrnav_gps.c:141-163)
-        t = [0] * 25  # d[1..24]
-        for i in range(1, 25):
-            t[i] = d[i]
-        D25 = b29 ^ t[1] ^ t[2] ^ t[3] ^ t[5] ^ t[6] ^ t[10] ^ t[11] ^ t[12] ^ t[13] ^ t[14] ^ t[17] ^ t[18] ^ t[20] ^ t[23]
-        D26 = b30 ^ t[2] ^ t[3] ^ t[4] ^ t[6] ^ t[7] ^ t[11] ^ t[12] ^ t[13] ^ t[14] ^ t[15] ^ t[18] ^ t[19] ^ t[21] ^ t[24]
-        D27 = b29 ^ t[1] ^ t[3] ^ t[4] ^ t[5] ^ t[7] ^ t[8] ^ t[12] ^ t[13] ^ t[14] ^ t[15] ^ t[16] ^ t[19] ^ t[20] ^ t[22]
-        D28 = b30 ^ t[2] ^ t[4] ^ t[5] ^ t[6] ^ t[8] ^ t[9] ^ t[13] ^ t[14] ^ t[15] ^ t[16] ^ t[17] ^ t[20] ^ t[21] ^ t[23]
-        D29 = b30 ^ t[1] ^ t[3] ^ t[5] ^ t[6] ^ t[7] ^ t[9] ^ t[10] ^ t[14] ^ t[15] ^ t[16] ^ t[17] ^ t[18] ^ t[21] ^ t[22] ^ t[24]
-        D30 = b29 ^ t[3] ^ t[5] ^ t[6] ^ t[8] ^ t[9] ^ t[10] ^ t[11] ^ t[13] ^ t[15] ^ t[19] ^ t[22] ^ t[23] ^ t[24]
-        return [D25, D26, D27, D28, D29, D30]
-
-    words = []
-    b29, b30 = prev_d29, prev_d30
-
-    def emit(d24):
-        nonlocal b29, b30
-        # transmitted d1..d24 are source bits XOR previous D30
-        dtx = [0] + [b ^ b30 for b in d24]
-        par = parity(dtx, b29, b30)
-        w = dtx[1:25] + par
-        b29, b30 = par[4], par[5]
-        words.append(w)
-
-    # word 1: TLM — preamble 10001011, 16 bits message, 2 reserved
-    tlm = [1, 0, 0, 0, 1, 0, 1, 1] + list(rng.integers(0, 2, 14)) + [0, 0]
-    emit(tlm)
-    # word 2: HOW — 17-bit TOW, alert=0, AS=0, subframe id, 2 parity-solve bits
-    how = [int(b) for b in format(tow6 & 0x1FFFF, "017b")]
-    how += [0, 0] + [int(b) for b in format(subframe_id & 7, "03b")]
-    # choose t23,t24 so that D29=D30=0 (IS-GPS-200 HOW constraint)
-    for t23 in (0, 1):
-        for t24 in (0, 1):
-            cand = how + [t23, t24]
-            dtx = [0] + [b ^ b30 for b in cand]
-            par = parity(dtx, b29, b30)
-            if par[4] == 0 and par[5] == 0:
-                emit(cand)
-                break
-        else:
-            continue
-        break
-    # word 3: for subframe 1, bits 61-70 are week (10) etc.; fill week then random
-    if subframe_id == 1:
-        w3 = [int(b) for b in format(week10 & 0x3FF, "010b")]
-        w3 += list(rng.integers(0, 2, 14))
-    else:
-        w3 = list(rng.integers(0, 2, 24))
-    emit(w3)
-    for _ in range(4, 11):
-        emit(list(rng.integers(0, 2, 24)))
-
-    bits01 = np.concatenate([np.asarray(w) for w in words])
-    assert bits01.shape == (300,)
-    # ±1 convention: the receiver maps +1 correlation to bit 0 / -1 to bit 1?
-    # The reference packs bit=-1 as binary 1 (bits2byte, src/sdrnav.c:166).
-    return (1 - 2 * bits01).astype(np.int8)
+def lnav_bit_stream(eph, tow_start: float, nframes: int = 2,
+                    seed: int = 7) -> np.ndarray:
+    """Continuous ±1 LNAV bit stream of ``nframes`` x subframes 1..5
+    starting at subframe boundary tow_start (s).  Word-parity chaining is
+    carried across subframes exactly as broadcast."""
+    from .nav.lnav import encode_frame_l1ca
+    bits = []
+    b29 = b30 = 0
+    tow6 = int(tow_start / 6.0)
+    for _ in range(nframes * 5):
+        sfid = (tow6 - int(tow_start / 6.0)) % 5 + 1
+        sf = encode_frame_l1ca(eph, sfid, tow6 + 1, b29, b30, seed)
+        # chain parity: last word's D29,D30 (±1 -> 0/1)
+        b29 = int(sf[298] == -1)
+        b30 = int(sf[299] == -1)
+        bits.append(sf)
+        tow6 += 1
+    return np.concatenate(bits).astype(np.int8)

@@ -90,8 +90,6 @@ class Tracker:
         code_mat = np.zeros((C, clen_max), np.int8)
         for i, c in enumerate(codes_list):
             code_mat[i, :len(c)] = c
-        self.codes = jnp.asarray(code_mat)
-        self.clen = jnp.asarray(np.asarray(clens, np.int32))
         self.crate = np.asarray(crates, np.float64)
         self.ctime = np.asarray(clens, np.float64) / self.crate
         nsamp = np.round(f_sf * self.ctime).astype(np.int64)
@@ -102,34 +100,40 @@ class Tracker:
         self.smax = cfg.smax
         self.next = self.nwin + 2 * self.smax
         self.offsets = corr_ops.tap_offsets(cfg.corrn, cfg.corrd)
-        self.loop = jnp.asarray(
-            np.asarray([loop_interval(ct) for ct in ctypes], np.int32))
 
-        # exact base tables, per channel where they differ
+        # exact base tables, per channel where they differ.  All device
+        # buffers live in one pytree passed as a jit ARGUMENT (never closed
+        # over: closure arrays become embedded HLO constants, which bloats
+        # compiles and is unsupported on remote-compile TPU backends).
         i64 = np.arange(self.next, dtype=np.float64)
         ci0 = self.crate * self.ti                       # (C,)
         chips = ci0[:, None] * i64[None, :]
-        self.chip_int = jnp.asarray(np.floor(chips).astype(np.int32))
-        self.chip_frac = jnp.asarray((chips - np.floor(chips))
-                                     .astype(np.float32))
-        self.ci0 = jnp.asarray(ci0.astype(np.float32))
         ks = self.n_nom + np.arange(-NSPAN, NSPAN + 1, dtype=np.float64)
-        self.code_adv = jnp.asarray(
-            (ci0[:, None] * ks[None, :] - np.asarray(clens, np.float64)[:, None])
-            .astype(np.float32))
-
         f_base = f_if + foffsets                          # (C,)
         ph = np.mod(f_base[:, None] * self.ti * i64[None, :self.nwin], 1.0)
-        self.base_phase = jnp.asarray(ph.astype(np.float32))
-        self.carr_adv = jnp.asarray(
-            np.mod(f_base[:, None] * self.ti * ks[None, :], 1.0)
-            .astype(np.float32))
-        # carrier-aiding scale crate/f_cf (sdrtrk.c:147-148)
-        self.aid = jnp.asarray((self.crate / f_cfs).astype(np.float32))
-        self.dt1 = jnp.asarray(self.ctime.astype(np.float32))  # prm1 dt
-        self.dt2 = jnp.asarray((self.ctime *
-                                np.asarray([loop_interval(ct) for ct in ctypes]))
-                               .astype(np.float32))            # prm2 dt
+        self.aid = (self.crate / f_cfs).astype(np.float32)
+        self._consts = dict(
+            codes=jnp.asarray(code_mat),
+            clen=jnp.asarray(np.asarray(clens, np.int32)),
+            loop=jnp.asarray(
+                np.asarray([loop_interval(ct) for ct in ctypes], np.int32)),
+            chip_int=jnp.asarray(np.floor(chips).astype(np.int32)),
+            chip_frac=jnp.asarray((chips - np.floor(chips))
+                                  .astype(np.float32)),
+            ci0=jnp.asarray(ci0.astype(np.float32)),
+            code_adv=jnp.asarray(
+                (ci0[:, None] * ks[None, :]
+                 - np.asarray(clens, np.float64)[:, None]).astype(np.float32)),
+            base_phase=jnp.asarray(ph.astype(np.float32)),
+            carr_adv=jnp.asarray(
+                np.mod(f_base[:, None] * self.ti * ks[None, :], 1.0)
+                .astype(np.float32)),
+            aid=jnp.asarray(self.aid),                    # (C,)
+            dt1=jnp.asarray(self.ctime.astype(np.float32)),
+            dt2=jnp.asarray((self.ctime *
+                             np.asarray([loop_interval(ct) for ct in ctypes]))
+                            .astype(np.float32)),
+        )
 
     # ------------------------------------------------------------------ #
     def init_state(self) -> TrackState:
@@ -165,27 +169,33 @@ class Tracker:
         )
 
     # ------------------------------------------------------------------ #
-    def _channel_step(self, block, c, st):
-        """One code period for channel c. st: per-channel slice dict."""
+    def _channel_step(self, block, cc, st):
+        """One code period for one channel; ``cc``: per-channel consts
+        slice, ``st``: per-channel state slice dict."""
         cfg = self.cfg
-        ci = self.ci0[c] + st["dci"]
+        ci = cc["ci0"] + st["dci"]
         # period length: n = round((clen - remcode)/ci) clamped (ops.nco)
-        n = jnp.round((self.clen[c].astype(jnp.float32) - st["remcode"]) / ci
+        n = jnp.round((cc["clen"].astype(jnp.float32) - st["remcode"]) / ci
                       ).astype(jnp.int32)
         n = jnp.clip(n, self.n_nom - NSPAN, self.n_nom + NSPAN)
 
         # --- correlate ------------------------------------------------ #
+        # block: (n,) f32 real samples or (n, 2) f32 stacked I/Q (complex
+        # never crosses the host<->device boundary)
         win = jax.lax.dynamic_slice_in_dim(block, st["loc"], self.nwin)
         i = jnp.arange(self.nwin, dtype=jnp.float32)
-        ph = frac(self.base_phase[c] + frac(st["dcps"] * i) + st["remcarr"])
+        ph = frac(cc["base_phase"] + frac(st["dcps"] * i) + st["remcarr"])
         rot = jnp.exp((2j * PI) * ph.astype(jnp.complex64))
-        mixed = win.astype(jnp.complex64) * rot
+        if win.ndim == 2:
+            mixed = jax.lax.complex(win[:, 0], win[:, 1]) * rot
+        else:
+            mixed = win.astype(jnp.complex64) * rot
 
         ii = jnp.arange(self.next, dtype=jnp.float32)
         shift = st["remcode"] + st["dci"] * ii - ci * self.smax
-        chip = self.chip_int[c] + jnp.floor(self.chip_frac[c] + shift
+        chip = cc["chip_int"] + jnp.floor(cc["chip_frac"] + shift
                                             ).astype(jnp.int32)
-        rcode = jnp.take(self.codes[c], jnp.mod(chip, self.clen[c]), axis=0
+        rcode = jnp.take(cc["codes"], jnp.mod(chip, cc["clen"]), axis=0
                          ).astype(jnp.float32)
         z = corr_ops.correlate_taps(mixed, rcode, self.offsets, self.smax, n)
         # reference I/Q mapping: trk.II=sin channel, trk.QQ=cos channel
@@ -201,12 +211,12 @@ class Tracker:
 
         # --- loop filter gating (sdrmain.c:271-280) --------------------- #
         cnt1 = st["cnt"] + 1
-        swloop = jnp.mod(cnt1 - st["sync_offset"], self.loop[c]) == 0
+        swloop = jnp.mod(cnt1 - st["sync_offset"], cc["loop"]) == 0
         do1 = ~st["flagsync"]
         do2 = st["flagsync"] & swloop
         update = do1 | do2
         flagloop = jnp.where(do1, 1, jnp.where(do2, 2, 0)).astype(jnp.int32)
-        dt = jnp.where(do1, self.dt1[c], self.dt2[c])
+        dt = jnp.where(do1, cc["dt1"], cc["dt2"])
 
         def pick(a, b):
             return jnp.where(do1, a, b)
@@ -249,13 +259,13 @@ class Tracker:
         freq_err_c = jnp.where(update, freq_err, st["freq_err"])
 
         dcarr_hz = st["dcarr_acq"] + carr_nco
-        dcode_hz = -code_nco + dcarr_hz * self.aid[c]
+        dcode_hz = -code_nco + dcarr_hz * cc["aid"]
 
         # --- advance phases with the OLD freqs used for this period ----- #
         k = n - self.n_nom + NSPAN
-        remcode = st["remcode"] + self.code_adv[c, k] + st["dci"] * \
+        remcode = st["remcode"] + cc["code_adv"][k] + st["dci"] * \
             n.astype(jnp.float32)
-        remcarr = frac(st["remcarr"] + self.carr_adv[c, k]
+        remcarr = frac(st["remcarr"] + cc["carr_adv"][k]
                        + frac(st["dcps"] * n.astype(jnp.float32)))
 
         out = dict(
@@ -273,7 +283,7 @@ class Tracker:
             loc=st["loc"] + n, cnt=cnt1,
             remcode=remcode, remcarr=remcarr,
             dcps=(st["dcarr_acq"] + carr_nco) * self.ti,
-            dci=(-code_nco + (st["dcarr_acq"] + carr_nco) * self.aid[c])
+            dci=(-code_nco + (st["dcarr_acq"] + carr_nco) * cc["aid"])
                 * self.ti,
             carr_nco=carr_nco, code_nco=code_nco,
             carr_err=carr_err_c, code_err=code_err_c, freq_err=freq_err_c,
@@ -311,19 +321,17 @@ class Tracker:
             prev_i=d["prev_i"], prev_q=d["prev_q"],
         )
 
-    @functools.partial(jax.jit, static_argnums=(0, 3))
-    def _run(self, carry, block, nsteps: int):
-        chans = jnp.arange(self.C)
-
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _run(self, carry, block, consts, nsteps: int):
         def step(st, _):
-            def one(c, stc):
-                new, out = self._channel_step(block, c, stc)
+            def one(cc, stc):
+                new, out = self._channel_step(block, cc, stc)
                 # inactive channels: freeze the whole carry
                 act = stc["active"]
                 merged = {k: jnp.where(act, new[k], stc[k]) if k in new
                           else stc[k] for k in stc}
                 return merged, out
-            new, out = jax.vmap(one, in_axes=(0, 0))(chans, st)
+            new, out = jax.vmap(one, in_axes=(0, 0))(consts, st)
             return new, out
 
         return jax.lax.scan(step, carry, None, length=nsteps)
@@ -331,13 +339,19 @@ class Tracker:
     def run_block(self, state: TrackState, block, nsteps: int
                   ) -> tuple[TrackState, TrackOutputs]:
         """Advance every active channel ``nsteps`` code periods through
-        ``block`` (device array, f32 real or c64 I/Q samples).
+        ``block``: (n,) f32 real samples, (n, 2) f32 stacked I/Q, or (n,)
+        complex (converted host-side — complex can't cross the device
+        boundary).
 
         The caller guarantees max(loc) + nsteps*(n_nom+NSPAN) + nwin
         <= len(block).
         """
+        if hasattr(block, "dtype") and jnp.iscomplexobj(block):
+            b = np.asarray(block)
+            block = jnp.asarray(np.stack([b.real, b.imag], axis=-1)
+                                .astype(np.float32))
         carry = self._state_to_dict(state)
-        carry, outs = self._run(carry, block, int(nsteps))
+        carry, outs = self._run(carry, block, self._consts, int(nsteps))
         new_state = self._dict_to_state(carry, state)
         outs = {k: np.asarray(v) for k, v in outs.items()}
         return new_state, TrackOutputs(**outs)
