@@ -1,0 +1,86 @@
+"""Headline benchmark: 32-channel L1CA tracking throughput on one chip.
+
+Measures steady-state IF samples/s through the full device tracking scan
+(carrier wipe-off + 9-tap correlator + DLL/PLL/FLL per ms per channel) at
+the reference's post-processing envelope (16.368 Msps real IF,
+frontend/iffile.ini) with all 32 channels of the reference default config
+(bin/gnss-sdrcli.ini NCH=32).
+
+Baseline: the reference's implicit real-time envelope — sustaining the
+capture rate (16.368 Msps) with 32 channels on a commodity CPU
+(BASELINE.md).  vs_baseline = measured Msps / 16.368.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    from gnsslib_tpu import sim
+    from gnsslib_tpu.constants import CodeType, DType
+    from gnsslib_tpu.track import TrackConfig, Tracker
+
+    f_sf = 16.368e6
+    f_if = 4.092e6
+    C = 32
+    nsteps = 500                       # 0.5 s of signal per device call
+    prns = list(range(1, 33))
+
+    cfg = TrackConfig(corrn=6, corrd=3, corrp=6)   # iffile.ini geometry
+    trk = Tracker(cfg, prns, [CodeType.L1CA] * C, f_sf, f_if, DType.REAL)
+    nsamp = trk.n_nom
+    block_len = nsteps * nsamp + trk.nwin + 8 * nsteps + 2 * nsamp + 64
+
+    # synthesize a realistic multi-satellite block once (content does not
+    # affect throughput; the loops run regardless of lock)
+    chans = [sim.SimChannel(prn=p, doppler=250.0 * (p % 13) - 1500.0,
+                            code_phase=97.0 * p)
+             for p in prns[:8]]
+    x = sim.synthesize(chans, f_sf, f_if, DType.REAL, block_len,
+                       noise_std=1.5, seed=3)
+    block = jnp.asarray(np.asarray(x, np.float32))
+
+    st = trk.init_state()
+    st = trk.start_channels(st, list(range(C)),
+                            [int(97 * p) % nsamp for p in prns],
+                            [250.0 * (p % 13) - 1500.0 for p in prns])
+
+    # warmup / compile
+    t0 = time.time()
+    st, out = trk.run_block(st, block, nsteps)
+    compile_s = time.time() - t0
+
+    # steady-state measurement
+    reps = 4
+    st = trk.rebase(st, 0)
+    t0 = time.time()
+    done = 0
+    for _ in range(reps):
+        st = trk.start_channels(st, list(range(C)),
+                                [0] * C, [0.0] * C)   # reset locs
+        st, out = trk.run_block(st, block, nsteps)
+        done += nsteps * nsamp
+    wall = time.time() - t0
+    msps = done / 1e6 / wall
+
+    result = {
+        "metric": "track_32ch_l1ca_throughput",
+        "value": round(msps, 3),
+        "unit": "Msamples/s",
+        "vs_baseline": round(msps / 16.368, 3),
+    }
+    print(json.dumps(result))
+    print(f"# device={jax.devices()[0].platform} compile={compile_s:.1f}s "
+          f"steps/s={reps * nsteps / wall:.0f} "
+          f"channel-Msps={msps * C:.1f}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

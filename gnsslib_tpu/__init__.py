@@ -40,4 +40,21 @@ Architecture (TPU-first, not a port of the reference's pthread design):
 
 __version__ = "0.1.0"
 
-from . import constants  # noqa: F401
+import os as _os
+
+# Persistent XLA compilation cache: first-compile of the acquisition /
+# tracking programs can take minutes (especially via the TPU
+# remote-compile path); cache them across processes.  Opt out with
+# GNSSLIB_TPU_NO_CACHE=1.
+if not _os.environ.get("GNSSLIB_TPU_NO_CACHE"):
+    try:
+        import jax as _jax
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("GNSSLIB_TPU_CACHE_DIR",
+                            _os.path.expanduser("~/.cache/gnsslib_tpu_xla")))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:            # pragma: no cover - jax-less install
+        pass
+
+from . import constants  # noqa: F401,E402

@@ -146,11 +146,16 @@ class Acquirer:
                 return acc + p
             acc0 = jnp.zeros((self.nfreq, self.nsamp), jnp.float32)
             return jax.lax.fori_loop(0, self.intg, one_round, acc0)
-        return jax.lax.map(one_channel, (consts["codex_ri"],
-                                         consts["base_phase"]))
+        P = jax.lax.map(one_channel, (consts["codex_ri"],
+                                      consts["base_phase"]))
+        # acceptance test in the same program: one compile, and only the
+        # tiny decision vectors leave the device.  The barrier stops XLA
+        # from fusing the reduction stage into the FFT loop — without it
+        # the CPU backend's optimizer blows up (minutes-long compiles).
+        P = jax.lax.optimization_barrier(P)
+        return (P,) + self.check_impl(P, consts["nsampchip"])
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def check(self, P, nsampchip):
+    def check_impl(self, P, nsampchip):
         """Vectorized checkacquisition (reference src/sdracq.c:71-95)."""
         C, F, n = P.shape
         flat = P.reshape(C, F * n)
@@ -169,6 +174,10 @@ class Acquirer:
         peakr = maxP / maxP2
         return codei, freqi, cn0, peakr
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def check(self, P, nsampchip):
+        return self.check_impl(P, nsampchip)
+
     # -- host API --------------------------------------------------------------
     def search(self, data: np.ndarray) -> AcqResult:
         """Run a full acquisition over (intg+1) ms of samples.
@@ -185,8 +194,8 @@ class Acquirer:
         nwin = 2 * self.nsamp
         rounds = np.stack([data[r * self.nsamp: r * self.nsamp + nwin]
                            for r in range(self.intg)])
-        P = self._search(jnp.asarray(rounds), self._consts)
-        codei, freqi, cn0, peakr = self.check(P, self._consts["nsampchip"])
+        P, codei, freqi, cn0, peakr = self._search(jnp.asarray(rounds),
+                                                   self._consts)
         codei = np.asarray(codei)
         freqi = np.asarray(freqi)
         cn0 = np.asarray(cn0)

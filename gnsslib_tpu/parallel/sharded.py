@@ -1,0 +1,139 @@
+"""Channel-sharded tracking and acquisition via shard_map.
+
+Each device executes the unchanged single-chip program on its slice of the
+channel axis — SPMD over the mesh, zero collectives in the compute path
+(channels are independent; the reference's only cross-channel interaction
+is the host-side observable fan-in, src/sdrsync.c:51-62, which stays on
+host 0 here too).  The IF sample block is replicated: every channel reads
+the same stream (same as the reference's shared ring buffer).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..acquire.search import Acquirer, AcqResult
+from ..track.loop import Tracker, TrackOutputs
+from ..track.state import TrackState
+
+
+class ShardedTracker:
+    """Wraps a Tracker: state/consts sharded over the mesh channel axis,
+    sample block replicated; per-step outputs come back channel-sharded."""
+
+    def __init__(self, tracker: Tracker, mesh: Mesh, axis: str = "ch"):
+        n = mesh.shape[axis]
+        if tracker.C % n:
+            raise ValueError(f"C={tracker.C} not divisible by mesh "
+                             f"axis {axis}={n}")
+        self.trk = tracker
+        self.mesh = mesh
+        self.axis = axis
+        self._shard_ch = NamedSharding(mesh, P(axis))
+        self._consts = jax.device_put(
+            tracker._consts,
+            jax.tree_util.tree_map(lambda _: self._shard_ch,
+                                   tracker._consts))
+        self._jit_cache = {}
+
+    # pass-throughs -------------------------------------------------------- #
+    def init_state(self) -> TrackState:
+        return self.trk.init_state()
+
+    def start_channels(self, state, idx, loc, dcarr):
+        return self.trk.start_channels(state, idx, loc, dcarr)
+
+    def set_bit_sync(self, state, ch, sync_offset):
+        return self.trk.set_bit_sync(state, ch, sync_offset)
+
+    def rebase(self, state, advance):
+        return self.trk.rebase(state, advance)
+
+    # sharded execution ---------------------------------------------------- #
+    def _sharded_fn(self, nsteps: int):
+        if nsteps in self._jit_cache:
+            return self._jit_cache[nsteps]
+        ax = self.axis
+
+        def local(carry, block, consts):
+            # runs per device on its channel shard; the scan/vmap inside
+            # operates on C_local channels
+            return self.trk.run_steps(carry, block, consts, nsteps)
+
+        fn = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(ax), P(), P(ax)),
+            out_specs=(P(ax), P(None, ax)),
+            check_rep=False)
+        jfn = jax.jit(fn)
+        self._jit_cache[nsteps] = jfn
+        return jfn
+
+    def run_block(self, state: TrackState, block, nsteps: int):
+        carry = self.trk._state_to_dict(state)
+        carry = jax.device_put(
+            carry, jax.tree_util.tree_map(lambda _: self._shard_ch, carry))
+        import jax.numpy as jnp
+        block = jnp.asarray(block)
+        carry, outs = self._sharded_fn(int(nsteps))(carry, block,
+                                                    self._consts)
+        new_state = self.trk._dict_to_state(carry, state)
+        outs = {k: np.asarray(v) for k, v in outs.items()}
+        return new_state, TrackOutputs(**outs)
+
+
+class ShardedAcquirer:
+    """Channel-sharded acquisition: each device searches its PRN subset
+    over the full Doppler grid (the (channels × Doppler) cold-start grid of
+    SURVEY.md §2.4)."""
+
+    def __init__(self, acq: Acquirer, mesh: Mesh, axis: str = "ch"):
+        n = mesh.shape[axis]
+        if acq.C % n:
+            raise ValueError(f"C={acq.C} not divisible by mesh axis")
+        self.acq = acq
+        self.mesh = mesh
+        self.axis = axis
+        shard_ch = NamedSharding(mesh, P(axis))
+        self._consts = jax.device_put(
+            acq._consts,
+            dict(codex_ri=shard_ch, nsampchip=shard_ch,
+                 base_phase=shard_ch,
+                 d_cps=NamedSharding(mesh, P())))
+        ax = axis
+
+        def local(rounds, consts):
+            return self.acq._search_impl(rounds, consts)
+
+        self._fn = jax.jit(shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), dict(codex_ri=P(ax), nsampchip=P(ax),
+                                base_phase=P(ax), d_cps=P())),
+            out_specs=(P(ax), P(ax), P(ax), P(ax), P(ax)),
+            check_rep=False))
+
+    def search(self, data: np.ndarray) -> AcqResult:
+        import jax.numpy as jnp
+        data = np.asarray(data)
+        if np.iscomplexobj(data):
+            data = np.stack([data.real, data.imag], axis=-1)
+        data = data.astype(np.float32)
+        nwin = 2 * self.acq.nsamp
+        rounds = np.stack([data[r * self.acq.nsamp:
+                                r * self.acq.nsamp + nwin]
+                           for r in range(self.acq.intg)])
+        _, codei, freqi, cn0, peakr = self._fn(jnp.asarray(rounds),
+                                               self._consts)
+        codei = np.asarray(codei)
+        freqi = np.asarray(freqi)
+        cn0 = np.asarray(cn0)
+        peakr = np.asarray(peakr)
+        acqfreq = self.acq.freqs_abs[np.arange(self.acq.C), freqi]
+        dcarr = self.acq.dopp_hz[freqi]
+        return AcqResult(acquired=peakr > self.acq.thresh, codei=codei,
+                         freqi=freqi, acqfreq=acqfreq, dcarr=dcarr,
+                         cn0=cn0, peakr=peakr)

@@ -1,0 +1,10 @@
+"""Receiver runtime: configuration, orchestration, CLI.
+
+Reference: src/sdrinit.c (INI config), src/sdrmain.c (thread orchestration).
+The pthread fan-out becomes one block-streamed pipeline: load IF block ->
+device acquisition/tracking programs -> host nav/observables/output.
+"""
+from .config import ReceiverConfig, ChannelConfig, load_ini
+from .receiver import Receiver
+
+__all__ = ["ReceiverConfig", "ChannelConfig", "load_ini", "Receiver"]

@@ -113,13 +113,8 @@ class Tracker:
         ph = np.mod(f_base[:, None] * self.ti * i64[None, :self.nwin], 1.0)
         self.aid = (self.crate / f_cfs).astype(np.float32)
         self._consts = dict(
-            codes=jnp.asarray(code_mat),
-            clen=jnp.asarray(np.asarray(clens, np.int32)),
             loop=jnp.asarray(
                 np.asarray([loop_interval(ct) for ct in ctypes], np.int32)),
-            chip_int=jnp.asarray(np.floor(chips).astype(np.int32)),
-            chip_frac=jnp.asarray((chips - np.floor(chips))
-                                  .astype(np.float32)),
             ci0=jnp.asarray(ci0.astype(np.float32)),
             code_adv=jnp.asarray(
                 (ci0[:, None] * ks[None, :]
@@ -134,6 +129,32 @@ class Tracker:
                              np.asarray([loop_interval(ct) for ct in ctypes]))
                             .astype(np.float32)),
         )
+        if cfg.resample == "exact":
+            self._consts.update(
+                codes=jnp.asarray(code_mat),
+                clen=jnp.asarray(np.asarray(clens, np.int32)),
+                chip_int=jnp.asarray(np.floor(chips).astype(np.int32)),
+                chip_frac=jnp.asarray((chips - np.floor(chips))
+                                      .astype(np.float32)),
+            )
+        else:
+            # quantized-phase replica table (see _channel_step): rows are
+            # resampled codes at f_q = q*ci0/Q sub-sample phases, padded so
+            # any phase in remcode ∈ [-2, 2] chips is a contiguous slice
+            self._tbl_q = int(max(64, min(1024, 2 ** int(np.ceil(
+                np.log2(512.0 * float(ci0.max())))))))
+            self._tbl_m0 = int(np.ceil(2.0 / ci0.min())) + self.smax + 2
+            W = self.next + self._tbl_m0 + int(np.ceil(2.0 / ci0.min())) + 4
+            j = np.arange(W, dtype=np.float64) - self._tbl_m0
+            tbl = np.empty((C, self._tbl_q, W), np.int8)
+            for c in range(C):
+                fq = (np.arange(self._tbl_q, dtype=np.float64)
+                      * ci0[c] / self._tbl_q)
+                idx = np.floor(fq[:, None] + ci0[c] * j[None, :]).astype(
+                    np.int64)
+                tbl[c] = code_mat[c][np.mod(idx, clens[c])]
+            self._consts["table"] = jnp.asarray(tbl)
+            self._consts["clen"] = jnp.asarray(np.asarray(clens, np.int32))
 
     # ------------------------------------------------------------------ #
     def init_state(self) -> TrackState:
@@ -191,12 +212,40 @@ class Tracker:
         else:
             mixed = win.astype(jnp.complex64) * rot
 
-        ii = jnp.arange(self.next, dtype=jnp.float32)
-        shift = st["remcode"] + st["dci"] * ii - ci * self.smax
-        chip = cc["chip_int"] + jnp.floor(cc["chip_frac"] + shift
-                                            ).astype(jnp.int32)
-        rcode = jnp.take(cc["codes"], jnp.mod(chip, cc["clen"]), axis=0
-                         ).astype(jnp.float32)
+        if self.cfg.resample == "exact":
+            # per-sample gather resampler — bit-matches the reference's
+            # rescode (src/sdrcmn.c:608-631) including the dci rate term,
+            # but gathers are slow to compile and run on TPU
+            ii = jnp.arange(self.next, dtype=jnp.float32)
+            shift = st["remcode"] + st["dci"] * ii - ci * self.smax
+            chip = cc["chip_int"] + jnp.floor(cc["chip_frac"] + shift
+                                              ).astype(jnp.int32)
+            rcode = jnp.take(cc["codes"], jnp.mod(chip, cc["clen"]), axis=0
+                             ).astype(jnp.float32)
+        else:
+            # quantized-phase replica table: the code phase at the extended
+            # window start decomposes into an integer-sample shift m and a
+            # sub-sample fraction f in [0, ci0); the replica is then a
+            # contiguous slice of a precomputed row for the nearest
+            # quantized f (<= ci0/2Q chips = <1/512 chip phase error; the
+            # NCO carries stay exact).  Two dynamic slices instead of a
+            # 17k-element gather — what TPUs are fast at.
+            phi = st["remcode"] - cc["ci0"] * self.smax
+            s = phi / cc["ci0"]
+            m = jnp.floor(s)
+            q_idx = jnp.round((s - m) * self._tbl_q).astype(jnp.int32)
+            m = m.astype(jnp.int32) + q_idx // self._tbl_q
+            q_idx = q_idx % self._tbl_q
+            # row select as a one-hot matmul: dynamic_index under vmap
+            # lowers to a gather, which the TPU compiler handles terribly
+            # (100s+ compiles); a (Q,)x(Q,W) contraction is MXU-native
+            row = jnp.einsum(
+                "q,qw->w", jax.nn.one_hot(q_idx, self._tbl_q,
+                                          dtype=jnp.float32),
+                cc["table"].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+            rcode = jax.lax.dynamic_slice_in_dim(row, m + self._tbl_m0,
+                                                 self.next)
         z = corr_ops.correlate_taps(mixed, rcode, self.offsets, self.smax, n)
         # reference I/Q mapping: trk.II=sin channel, trk.QQ=cos channel
         cur_i = z.imag
@@ -262,10 +311,13 @@ class Tracker:
         dcode_hz = -code_nco + dcarr_hz * cc["aid"]
 
         # --- advance phases with the OLD freqs used for this period ----- #
-        k = n - self.n_nom + NSPAN
-        remcode = st["remcode"] + cc["code_adv"][k] + st["dci"] * \
-            n.astype(jnp.float32)
-        remcarr = frac(st["remcarr"] + cc["carr_adv"][k]
+        # (one-hot dot, not [] indexing: a vmapped dynamic index lowers to
+        # a gather, which costs ~ms on TPU even for a 17-element table)
+        k1h = jax.nn.one_hot(n - self.n_nom + NSPAN, 2 * NSPAN + 1,
+                             dtype=jnp.float32)
+        remcode = st["remcode"] + jnp.dot(k1h, cc["code_adv"]) + \
+            st["dci"] * n.astype(jnp.float32)
+        remcarr = frac(st["remcarr"] + jnp.dot(k1h, cc["carr_adv"])
                        + frac(st["dcps"] * n.astype(jnp.float32)))
 
         out = dict(
@@ -296,7 +348,10 @@ class Tracker:
         return new, out
 
     # ------------------------------------------------------------------ #
+    @functools.partial(jax.jit, static_argnums=0)
     def _state_to_dict(self, s: TrackState):
+        # jitted: eager per-field arithmetic would cost one device
+        # round-trip per op on remote backends
         return dict(
             loc=s.loc, cnt=s.cnt, remcode=s.remcode, remcarr=s.remcarr,
             dcps=(s.dcarr_acq + s.carr_nco) * self.ti,
@@ -321,8 +376,10 @@ class Tracker:
             prev_i=d["prev_i"], prev_q=d["prev_q"],
         )
 
-    @functools.partial(jax.jit, static_argnums=(0, 4))
-    def _run(self, carry, block, consts, nsteps: int):
+    def run_steps(self, carry, block, consts, nsteps: int):
+        """The traced scan body (un-jitted; `_run` is its jitted form —
+        kept separate so graft/sharding wrappers can re-jit with custom
+        shardings)."""
         def step(st, _):
             def one(cc, stc):
                 new, out = self._channel_step(block, cc, stc)
@@ -335,6 +392,10 @@ class Tracker:
             return new, out
 
         return jax.lax.scan(step, carry, None, length=nsteps)
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _run(self, carry, block, consts, nsteps: int):
+        return self.run_steps(carry, block, consts, nsteps)
 
     def run_block(self, state: TrackState, block, nsteps: int
                   ) -> tuple[TrackState, TrackOutputs]:
@@ -353,7 +414,7 @@ class Tracker:
         carry = self._state_to_dict(state)
         carry, outs = self._run(carry, block, self._consts, int(nsteps))
         new_state = self._dict_to_state(carry, state)
-        outs = {k: np.asarray(v) for k, v in outs.items()}
+        outs = jax.device_get(outs)      # ONE host transfer for all fields
         return new_state, TrackOutputs(**outs)
 
     def rebase(self, state: TrackState, advance: int) -> TrackState:

@@ -60,6 +60,10 @@ class TrackConfig:
     corrp: int = 6
     prm1: LoopParams = LoopParams.from_bandwidths(5.0, 30.0, 200.0)
     prm2: LoopParams = LoopParams.from_bandwidths(1.0, 10.0, 50.0)
+    # code-replica generation: "table" = quantized-phase rows + contiguous
+    # dynamic_slice (TPU-fast; <=1/512-chip replica phase quantization);
+    # "exact" = per-sample gather bit-matching the reference's rescode
+    resample: str = "table"
 
     @property
     def ntaps(self) -> int:

@@ -1,0 +1,109 @@
+"""Front-end byte-format unpacker tests against hand-computed references."""
+import numpy as np
+
+from gnsslib_tpu.constants import DType, FrontendType
+from gnsslib_tpu.io import (FileFrontend, FrontendSpec, unpack_bladerf,
+                            unpack_gn3s_v2, unpack_gn3s_v3_2bit,
+                            unpack_gn3s_v3_4bit, unpack_int8, unpack_rtlsdr,
+                            unpack_stereo_fe1, unpack_stereo_fe2)
+
+
+def test_int8_real_and_iq():
+    raw = np.array([1, -2, 3, -4], np.int8).tobytes()
+    assert np.array_equal(unpack_int8(raw, False), [1, -2, 3, -4])
+    iq = unpack_int8(raw, True)
+    assert iq.shape == (2, 2) and iq[1, 0] == 3 and iq[1, 1] == -4
+
+
+def test_rtlsdr_u8():
+    # reference: (char)(u8 - 127.5) -> C truncation toward zero
+    raw = np.array([0, 127, 128, 255], np.uint8).tobytes()
+    x = unpack_rtlsdr(raw).ravel()
+    assert np.array_equal(x, [-127.0, 0.0, 0.0, 127.0])
+
+
+def test_gn3s_v2_shift():
+    # bit0 = sign (0->+1, 1->-1); bit1 of first byte signals packet shift
+    raw = np.array([0b10, 0b11, 0b10, 0b00], np.uint8).tobytes()  # no shift
+    x = unpack_gn3s_v2(raw).ravel()
+    assert np.array_equal(x, [1, -1, 1, 1])
+    raw2 = np.array([0b00, 0b11, 0b10, 0b00], np.uint8).tobytes()  # shifted
+    x2 = unpack_gn3s_v2(raw2).ravel()
+    assert np.array_equal(x2, [-1, 1, 1, 0])
+
+
+def test_gn3s_v3_luts():
+    raw = np.array([0, 1, 2, 3], np.uint8).tobytes()
+    assert np.array_equal(unpack_gn3s_v3_2bit(raw), [1, -1, 3, -3])
+    iq = unpack_gn3s_v3_4bit(np.array([0x0, 0x1, 0x4, 0xA], np.uint8)
+                             .tobytes())
+    # I from bits {0,2}: LUT {1,-1,3,-3}; Q from bits {1,3}
+    assert np.array_equal(iq[:, 0], [1, -1, 3, 1])
+    assert np.array_equal(iq[:, 1], [1, 1, 1, -3])
+
+
+def test_stereo_packed():
+    # FE1: bits 7-6 -> {-3,-1,1,3}; FE2: bits 5-3 / 2-0 -> 3-bit LUT
+    raw = np.array([0b00000000, 0b01000000, 0b10000000, 0b11000000],
+                   np.uint8).tobytes()
+    assert np.array_equal(unpack_stereo_fe1(raw), [-3, -1, 1, 3])
+    raw2 = np.array([0b00001001, 0b00100111], np.uint8).tobytes()
+    iq = unpack_stereo_fe2(raw2)
+    # bits 5-3 / 2-0 through BASELUT2 {1,3,5,7,-7,-5,-3,-1}
+    assert np.array_equal(iq[0], [3, 3])
+    assert np.array_equal(iq[1], [-7, -1])
+    # recompute: 0b00001001: (x>>3)&7 = 1 -> +3 ; x&7 = 1 -> +3
+
+
+def test_stereo_fe2_exact():
+    base = [1, 3, 5, 7, -7, -5, -3, -1]
+    for b in range(64):
+        raw = np.array([b], np.uint8).tobytes()
+        iq = unpack_stereo_fe2(raw)
+        assert iq[0, 0] == base[(b >> 3) & 7]
+        assert iq[0, 1] == base[b & 7]
+
+
+def test_bladerf_dc_removal():
+    # SC16 Q11 masked to 12 bits, stored u8, DC removed per block
+    raw = np.array([0x800 + 130, 0x800 + 120, 130, 110], np.uint16).tobytes()
+    iq = unpack_bladerf(raw)
+    # stored u8: [130,120,130,110]; I mean 130, Q mean 115
+    assert np.array_equal(iq[:, 0], [0, 0])
+    assert np.array_equal(iq[:, 1], [5, -5])
+
+
+def test_file_frontend_read(tmp_path):
+    data = np.arange(-50, 50, dtype=np.int8)
+    p = tmp_path / "if.bin"
+    data.tofile(p)
+    spec = FrontendSpec(fend=FrontendType.FILE, f_cf=1.57542e9, f_sf=1e6,
+                        f_if=0.0, dtype=DType.REAL)
+    with FileFrontend(str(p), spec) as fe:
+        assert fe.nsamples == 100
+        x = fe.read(10, 5)
+        assert np.array_equal(x, [-40, -39, -38, -37, -36])
+        # EOF zero-padding
+        y = fe.read(95, 10)
+        assert np.array_equal(y[:5], [45, 46, 47, 48, 49])
+        assert np.array_equal(y[5:], np.zeros(5))
+
+
+def test_file_frontend_iq_bps(tmp_path):
+    data = np.arange(8, dtype=np.int8)
+    p = tmp_path / "iq.bin"
+    data.tofile(p)
+    spec = FrontendSpec(fend=FrontendType.FILE, f_cf=1.57542e9, f_sf=1e6,
+                        f_if=0.0, dtype=DType.IQ)
+    fe = FileFrontend(str(p), spec)
+    assert fe.nsamples == 4
+    x = fe.read(1, 2)
+    assert x.shape == (2, 2)
+    assert np.array_equal(x, [[2, 3], [4, 5]])
+
+
+def test_ppm_foffset():
+    spec = FrontendSpec(fend=FrontendType.FRTLSDR, f_cf=1.57542e9,
+                        f_sf=2.048e6, f_if=0.0, dtype=DType.IQ, ppmerr=30.0)
+    # reference: foffset = -PPMERR*1e-6*CF (src/sdrinit.c:616-617)
+    assert abs(spec.foffset - (-30e-6 * 1.57542e9)) < 1e-6

@@ -1,0 +1,174 @@
+"""Full receiver integration: IF file -> CLI -> RINEX obs + nav.
+
+BASELINE.md staged configs 3-4: multi-channel acquisition, tracking, nav
+bit sync, ephemeris decode, epoch-aligned pseudoranges, RINEX output —
+through the same code path a user runs (`python -m gnsslib_tpu config.ini`).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from gnsslib_tpu import sim
+from gnsslib_tpu.constants import CLIGHT, DType, PTIMING
+from gnsslib_tpu.runtime.cli import main as cli_main
+from gnsslib_tpu.runtime.config import load_ini
+
+# 4.092 Msps / 4 samples per chip with E-L spacing of 2 samples: the
+# geometry the tracking unit tests validate.  At ~2 samples/chip (RTL-SDR
+# rates) the nearest-neighbour replica's S-curve bias makes the narrow
+# post-sync DLL marginal — true of the reference's rescode too; replica
+# interpolation is the planned fix (see track/loop.py).
+F_SF = 4.092e6
+F_IF = 1.023e6
+NSAMP = 4092
+TOW0 = 352800.0
+DELAYS = {3: 300, 21: 1300}          # PRN -> signal delay (samples)
+SECONDS = 27.0
+
+
+@pytest.fixture(scope="module")
+def if_file(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("rx")
+    chans = []
+    for prn, d in DELAYS.items():
+        eph = sim.example_eph(prn=prn, week=2200, toe_tow=TOW0)
+        frames = sim.lnav_bit_stream(eph, TOW0 + 6.0, nframes=5)
+        # 300 padding bits (6 s): bit sync converges, then sf1 is the first
+        # complete subframe in the frame buffer -> earliest decode.  The
+        # last two pad bits must be +1,+1 (binary 00) so the receiver's
+        # word-1 parity sees the encoder's initial D29*=D30*=0.
+        pad = np.concatenate([np.tile([1, -1], 149), [1, 1]]).astype(np.int8)
+        bits = np.concatenate([pad, frames])
+        chans.append(sim.SimChannel(
+            prn=prn, doppler=500.0 + 100.0 * prn,
+            code_phase=-d * 1.023e6 / F_SF,
+            carr_phase=0.1 * prn, nav_bits=bits))
+    noise = sim.noise_std_for_cn0(1.0, 47.0, F_SF, DType.REAL)
+    n = int(SECONDS * F_SF)
+    # synthesize in 1 s chunks to bound memory
+    path = tmp / "sim_l1ca.bin"
+    with open(path, "wb") as f:
+        step = int(F_SF)
+        for t0 in range(0, n, step):
+            x = sim.synthesize(chans, F_SF, F_IF, DType.REAL,
+                               min(step, n - t0), noise_std=noise,
+                               seed=1000 + t0, t0=t0)
+            sim.quantize_int8(x, 16.0).tofile(f)
+    return tmp, path
+
+
+@pytest.fixture(scope="module")
+def ran_receiver(if_file):
+    tmp, path = if_file
+    fend = tmp / "fend.ini"
+    fend.write_text(f"""[FEND]
+TYPE     =FILE
+CF1      =1575.42e6
+SF1      ={F_SF}
+IF1      ={F_IF}
+DTYPE1   =1
+FILE1    ={path}
+[TRACK]
+CORRN    =4
+CORRD    =2
+CORRP    =2
+DLLB1    =5.0
+PLLB1    =30.0
+FLLB1    =200.0
+DLLB2    =1.0
+PLLB2    =10.0
+FLLB2    =50.0
+""")
+    cfg = tmp / "rx.ini"
+    cfg.write_text(f"""[RCV]
+FENDCONF ={fend}
+[CHANNEL]
+NCH      =2
+PRN      =3,21
+SYS      =1,1
+CTYPE    =1,1
+FTYPE    =1,1
+[OUTPUT]
+OUTMS    =400
+RINEX    =1
+RINEXPATH={tmp}/out
+""")
+    rc = cli_main([str(cfg), "--quiet"])
+    assert rc == 0
+    out = tmp / "out"
+    obs = [p for p in os.listdir(out) if p.endswith(".obs")]
+    nav = [p for p in os.listdir(out) if p.endswith(".nav")]
+    assert len(obs) == 1 and len(nav) == 1
+    return (out / obs[0]).read_text(), (out / nav[0]).read_text()
+
+
+def test_config_roundtrip(if_file):
+    tmp, path = if_file
+    # config parsing happens inside ran_receiver; here check track params
+    fend = tmp / "fend.ini"
+    if fend.exists():
+        cfg = load_ini(str(tmp / "rx.ini"))
+        assert [c.prn for c in cfg.channels] == [3, 21]
+        assert cfg.track.corrn == 4
+
+
+def test_rinex_obs_epochs(ran_receiver):
+    obs_text, _ = ran_receiver
+    lines = obs_text.splitlines()
+    epochs = [i for i, ln in enumerate(lines) if ln.startswith(">")]
+    # decode completes ~12.5 s in; epochs every 400 ms until 26+ s
+    assert len(epochs) >= 20, f"only {len(epochs)} epochs"
+    # each epoch should carry both satellites once both are decoded
+    nsat_last = int(lines[epochs[-1]].split()[-1])
+    assert nsat_last == 2
+
+
+def test_pseudorange_difference(ran_receiver):
+    obs_text, _ = ran_receiver
+    lines = obs_text.splitlines()
+    from gnsslib_tpu.gtime import epoch2time, time2gpst
+    # parse the last epoch's P for G03 and G21
+    last = max(i for i, ln in enumerate(lines) if ln.startswith(">"))
+    ep = [float(x) for x in lines[last].split()[1:7]]
+    tow, _ = time2gpst(epoch2time(ep))
+    # the epoch is stamped reftow+PTIMING but codei is sampled at reftow
+    t = tow - PTIMING / 1000.0 - TOW0   # signal time of the measurement
+
+    P = {}
+    for ln in lines[last + 1:last + 3]:
+        sat = ln[:3]
+        P[sat] = float(ln[3:17])
+    # range difference = initial sample-delay difference + Doppler-driven
+    # divergence (code rate = crate*(1 - D/f_cf)): 1800 Hz -> 342.5 m/s
+    ddopp = 100.0 * (21 - 3)
+    dP_expect = (CLIGHT / F_SF * (DELAYS[21] - DELAYS[3])
+                 + CLIGHT * ddopp / 1.57542e9 * t)
+    dP = P["G21"] - P["G03"]
+    # DLL jitter at 47 dB-Hz: a few metres
+    assert dP == pytest.approx(dP_expect, abs=15.0), (dP, dP_expect)
+    # absolute pseudorange anchored at the PTIMING offset
+    assert P["G03"] == pytest.approx(
+        CLIGHT * (PTIMING / 1000.0) + CLIGHT / F_SF * DELAYS[3], abs=3e4)
+
+
+def test_rinex_nav_record(ran_receiver):
+    _, nav_text = ran_receiver
+    lines = nav_text.splitlines()
+    import re
+    recs = [ln for ln in lines if re.match(r"G\d\d \d{4} ", ln)]
+    assert recs, "no ephemeris record written"
+    # iode=77 in field 1 of line 2 of a record
+    i = lines.index(recs[0])
+    iode = float(lines[i + 1][4:23].replace("E", "e"))
+    assert iode == 77.0
+
+
+def test_doppler_sign_and_magnitude(ran_receiver):
+    obs_text, _ = ran_receiver
+    lines = obs_text.splitlines()
+    last = max(i for i, ln in enumerate(lines) if ln.startswith(">"))
+    for ln in lines[last + 1:last + 3]:
+        prn = int(ln[1:3])
+        d = float(ln[3 + 2 * 16:3 + 2 * 16 + 14])
+        assert d == pytest.approx(500.0 + 100.0 * prn, abs=2.0)

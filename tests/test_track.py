@@ -5,6 +5,8 @@ accuracy (±100 Hz carrier, ±0.5 sample code) must pull into stable lock —
 carrier error to the true Doppler within ~1 Hz, prompt power concentrated
 in the data (I) channel, DLL centered.
 """
+import dataclasses
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -22,7 +24,7 @@ CFG = TrackConfig(corrn=4, corrd=2, corrp=2)
 
 
 def _run_tracker(doppler, codei, nav_bits=None, seconds=1.0, cn0=None,
-                 dcarr0=None, prn=5, seed=11):
+                 dcarr0=None, prn=5, seed=11, cfg=None):
     ch = sim.SimChannel(prn=prn, doppler=doppler,
                         code_phase=-codei * 1.023e6 / F_SF,
                         carr_phase=0.123, nav_bits=nav_bits)
@@ -33,7 +35,7 @@ def _run_tracker(doppler, codei, nav_bits=None, seconds=1.0, cn0=None,
                           noise_std=noise, seed=seed)
 
     # 4 samples/chip at this f_sf: corrp=2 samples = 0.5 chip spacing
-    trk = Tracker(CFG, [prn], [CodeType.L1CA], F_SF, F_IF, DType.REAL)
+    trk = Tracker(cfg or CFG, [prn], [CodeType.L1CA], F_SF, F_IF, DType.REAL)
     st = trk.init_state()
     # acquisition handoff: carrier known to the 200 Hz grid
     dcarr0 = (-round(doppler / 200.0) * 200.0) if dcarr0 is None else dcarr0
@@ -44,9 +46,15 @@ def _run_tracker(doppler, codei, nav_bits=None, seconds=1.0, cn0=None,
     return trk, st, out
 
 
+EXACT = dataclasses.replace(CFG, resample="exact")
+
+
 def test_pull_in_and_lock_noiseless():
+    """Strict NCO-precision assertions use the reference-faithful exact
+    resampler; the default table resampler is covered by
+    test_table_resampler_lock below."""
     doppler = 777.0
-    trk, st, out = _run_tracker(doppler, codei=1234, seconds=1.0)
+    trk, st, out = _run_tracker(doppler, codei=1234, seconds=1.0, cfg=EXACT)
     # carrier pulled to the true Doppler: reported D = -dcarr
     d_end = -out.dcarr[-50:, 0]
     assert np.all(np.abs(d_end - doppler) < 1.0), d_end[-5:]
@@ -128,3 +136,23 @@ def test_inactive_channel_frozen():
     st2, _ = trk.run_block(st, block, 3)
     assert int(st2.loc[1]) == 0 and int(st2.cnt[1]) == 0
     assert int(st2.cnt[0]) == 3
+
+
+def test_table_resampler_lock():
+    """The quantized-phase replica table (default, TPU-fast) locks and
+    tracks the same signal as the exact resampler: clean data channel,
+    sub-0.01-chip code alignment, Doppler within the table's NCO dither."""
+    doppler = -1850.0
+    _, _, out_t = _run_tracker(doppler, codei=777, seconds=1.0)
+    _, _, out_e = _run_tracker(doppler, codei=777, seconds=1.0, cfg=EXACT)
+    for out, tol_d in ((out_t, 2.5), (out_e, 1.0)):
+        d_end = -np.mean(out.dcarr[-50:, 0])
+        assert abs(d_end - doppler) < tol_d
+        ip = out.ip[-50:, 0]
+        qp = out.qp[-50:, 0]
+        assert np.mean(np.abs(ip)) > 20 * np.mean(np.abs(qp))
+    assert np.median(np.abs(out_t.code_err[-200:, 0])) < 0.01
+    # prompt power parity between the two resamplers (<1% loss)
+    pt = np.mean(np.abs(out_t.ip[-100:, 0]))
+    pe = np.mean(np.abs(out_e.ip[-100:, 0]))
+    assert pt > 0.99 * pe
