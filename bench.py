@@ -26,14 +26,17 @@ def main() -> int:
     from gnsslib_tpu.constants import CodeType, DType
     from gnsslib_tpu.track import TrackConfig, Tracker
 
+    from gnsslib_tpu.track import FastTracker
+
     f_sf = 16.368e6
     f_if = 4.092e6
     C = 32
-    nsteps = 500                       # 0.5 s of signal per device call
+    nsteps = 2000                      # 2 s of signal per device call
     prns = list(range(1, 33))
 
     cfg = TrackConfig(corrn=6, corrd=3, corrp=6)   # iffile.ini geometry
     trk = Tracker(cfg, prns, [CodeType.L1CA] * C, f_sf, f_if, DType.REAL)
+    fast = FastTracker(trk)
     nsamp = trk.n_nom
     block_len = nsteps * nsamp + trk.nwin + 8 * nsteps + 2 * nsamp + 64
 
@@ -50,21 +53,22 @@ def main() -> int:
     st = trk.start_channels(st, list(range(C)),
                             [int(97 * p) % nsamp for p in prns],
                             [250.0 * (p % 13) - 1500.0 for p in prns])
+    for c in range(C):
+        st = trk.set_bit_sync(st, c, c % 10)
 
-    # warmup / compile
+    # warmup / compile (steady-state fast path: L periods per device step)
     t0 = time.time()
-    st, out = trk.run_block(st, block, nsteps)
+    st, out = fast.run_block(st, block, nsteps)
     compile_s = time.time() - t0
 
     # steady-state measurement
     reps = 4
-    st = trk.rebase(st, 0)
     t0 = time.time()
     done = 0
     for _ in range(reps):
         st = trk.start_channels(st, list(range(C)),
                                 [0] * C, [0.0] * C)   # reset locs
-        st, out = trk.run_block(st, block, nsteps)
+        st, out = fast.run_block(st, block, nsteps)
         done += nsteps * nsamp
     wall = time.time() - t0
     msps = done / 1e6 / wall

@@ -28,7 +28,7 @@ from ..obs.epoch import ChannelObsInput, EpochAligner, SdrObs
 from ..obs.history import ObsHistory
 from ..obs.rinex import RinexObsWriter, RinexNavWriter
 from ..ops.nco import NSPAN
-from ..track import Tracker
+from ..track import FastTracker, Tracker
 from ..track.state import loop_interval
 from .config import ReceiverConfig
 
@@ -77,6 +77,13 @@ class Receiver:
         self.trk = Tracker(cfg.track, self.prns, self.ctypes, spec.f_sf,
                            spec.f_if, spec.dtype, foffsets=foffsets,
                            f_cfs=f_cfs)
+        try:
+            # steady-state fast path (L periods/step); falls back to the
+            # per-period scan during acquisition/pull-in or for mixed
+            # loop-cadence channel groups
+            self.fast = FastTracker(self.trk)
+        except ValueError:
+            self.fast = None
         self.state = self.trk.init_state()
         self.nsamp = self.trk.n_nom
         self.nsteps = int(nsteps_per_block)
@@ -238,8 +245,12 @@ class Receiver:
                 continue
             cnt0 = np.asarray(self.state.cnt)
             block = jnp.asarray(block_np)
-            self.state, out = self.trk.run_block(self.state, block,
-                                                 self.nsteps)
+            use_fast = (self.fast is not None
+                        and self.nsteps % self.fast.L == 0
+                        and all(ch.synced for ch in self.channels
+                                if ch.locked))
+            eng = self.fast if use_fast else self.trk
+            self.state, out = eng.run_block(self.state, block, self.nsteps)
             self._feed_nav_and_obs(out, cnt0)
             self._emit_epochs()
             self.state = self.trk.rebase(self.state, advance)

@@ -14,3 +14,4 @@ channel batch axis, never from time parallelism.
 """
 from .state import TrackConfig, TrackState, LoopParams  # noqa: F401
 from .loop import Tracker  # noqa: F401
+from .fast import FastTracker  # noqa: F401

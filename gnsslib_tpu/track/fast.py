@@ -1,0 +1,319 @@
+"""Steady-state fast tracking: L code periods per device step.
+
+After nav bit sync, every channel's loop filter runs once per ``loop``
+periods (reference swloop cadence, src/sdrnav.c:241-282) — so between
+updates all NCO rates are constant and the whole L-period span is closed
+form.  This program exploits that:
+
+* window placement, code phase, and carrier phase for all L periods are
+  computed as (C, L) vector math (no per-period scan);
+* all L windows correlate in one batched bf16 einsum (MXU native; int8
+  samples and ±1 chips are exact in bf16, accumulation in f32);
+* exactly one loop-filter update per channel per super-step, located with
+  a one-hot over L and applied to cumulative tap sums — the same
+  discriminators and NCO equations as the per-period path (sdrtrk.c),
+  with rate changes taking effect at the next super-step (one loop
+  interval of transport delay, negligible at prm2 bandwidths).
+
+Per-period outputs (prompt I/Q, telemetry) are emitted in slow-path
+layout, so the Receiver treats this as a drop-in Tracker for the
+steady-state phase.  Requirements: all channels bit-synced, all channels
+sharing one ``loop`` interval, table resampler.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import PI
+from ..ops.nco import NSPAN, frac
+from .loop import Tracker, TrackOutputs
+from .state import TrackState, loop_interval
+
+
+class FastTracker:
+    """Wraps a table-mode Tracker for the post-bit-sync steady state."""
+
+    def __init__(self, tracker: Tracker):
+        if tracker.cfg.resample != "table":
+            raise ValueError("fast path needs the table resampler")
+        loops = {int(loop_interval(ct)) for ct in tracker._ctypes}
+        if len(loops) != 1:
+            raise ValueError("fast path needs a uniform loop interval; "
+                             f"got {loops}")
+        self.trk = tracker
+        self.L = loops.pop()
+        self.C = tracker.C
+        self.n_nom = tracker.n_nom
+        self.nwin = tracker.nwin
+        self.next = tracker.next
+        self.smax = tracker.smax
+        self.offsets = tracker.offsets
+        self.cfg = tracker.cfg
+        self.ti = tracker.ti
+        self.f_sf = tracker.f_sf
+
+        L, nbar = self.L, self.n_nom
+        ci0 = tracker.crate * tracker.ti                 # (C,) f64
+        f_base = tracker._f_base                          # (C,) f64
+        self.emax = int(np.ceil(L / 2 + self.smax + 2.0 / ci0.min() + 16))
+        e = np.arange(-self.emax, self.emax + 1, dtype=np.float64)
+        k = np.arange(L + 1, dtype=np.float64)
+        self._fconsts = dict(
+            # carrier base advance per whole super-window stride and per
+            # small sample offset, folded mod 1 in f64 then cast
+            base_adv_k=jnp.asarray(
+                np.mod(f_base[:, None] * tracker.ti * nbar * k[None, :], 1.0)
+                .astype(np.float32)),                     # (C, L+1)
+            base_adv_e=jnp.asarray(
+                np.mod(f_base[:, None] * tracker.ti * e[None, :], 1.0)
+                .astype(np.float32)),                     # (C, 2E+1)
+            clen_k=jnp.asarray(
+                (np.asarray(tracker._clens, np.float64)[:, None] * k[None, :])
+                .astype(np.float32)),                     # (C, L+1)
+        )
+        self._consts = tracker._consts
+
+    # ------------------------------------------------------------------ #
+    def init_state(self) -> TrackState:
+        return self.trk.init_state()
+
+    def rebase(self, state, advance):
+        return self.trk.rebase(state, advance)
+
+    # ------------------------------------------------------------------ #
+    def _superstep(self, block, cc, fc, st):
+        """One L-period super-step for one channel (vmapped over C)."""
+        cfg = self.cfg
+        L, nbar, taps = self.L, self.n_nom, cfg.ntaps
+        ci0 = cc["ci0"]
+        ci = ci0 + st["dci"]
+        kf = jnp.arange(L + 1, dtype=jnp.float32)
+        ki = jnp.arange(L, dtype=jnp.float32)
+
+        # --- closed-form period boundaries -------------------------------- #
+        d = jnp.round((fc["clen_k"] - st["remcode"]) / ci)      # (L+1,)
+        n_k = (d[1:] - d[:-1]).astype(jnp.int32)                # (L,)
+        remcode_k = st["remcode"] + ci * d[:L] - fc["clen_k"][:L]
+
+        # --- replica phase decomposition (table row + integer shift) ------ #
+        phi = remcode_k - ci0 * self.smax
+        s = phi / ci0
+        m = jnp.floor(s)
+        q_idx = jnp.round((s - m) * self.trk._tbl_q).astype(jnp.int32)
+        m = m.astype(jnp.int32) + q_idx // self.trk._tbl_q
+        q_idx = q_idx % self.trk._tbl_q
+
+        # data window start absorbs the replica's integer shift: with
+        # replica[i] = T_q[M0+m+i], substituting i -> i-m turns the tap sum
+        # into data[loc - m + i]*T_q[M0+i] (static replica slice)
+        dprime = d[:L].astype(jnp.int32) - m                    # (L,)
+        e_k = dprime - (ki * nbar).astype(jnp.int32)            # small
+        wstart = st["loc"] + dprime
+
+        # --- carrier phase per window ------------------------------------ #
+        e1h = jax.nn.one_hot(e_k + self.emax, 2 * self.emax + 1,
+                             dtype=jnp.float32)                 # (L, 2E+1)
+        base_e = jnp.einsum("le,e->l", e1h, fc["base_adv_e"])
+        w = frac(st["dcps"] * nbar)
+        rem_k = frac(st["remcarr"] + fc["base_adv_k"][:L] + base_e
+                     + frac(w * ki) + st["dcps"] * e_k.astype(jnp.float32))
+
+        # --- windows + mix ------------------------------------------------- #
+        win = jax.vmap(lambda s0: jax.lax.dynamic_slice_in_dim(
+            block, s0, self.nwin))(wstart)                      # (L, nwin[,2])
+        i = jnp.arange(self.nwin, dtype=jnp.float32)
+        ph = frac(cc["base_phase"][None, :] + frac(st["dcps"] * i)[None, :]
+                  + rem_k[:, None])
+        rot = jnp.exp((2j * PI) * ph.astype(jnp.complex64))
+        if win.ndim == 3:
+            mixed = jax.lax.complex(win[..., 0], win[..., 1]) * rot
+        else:
+            mixed = win.astype(jnp.complex64) * rot
+        mask = (i[None, :] < n_k[:, None].astype(jnp.float32))
+        iq = jnp.stack([mixed.real, mixed.imag], axis=-1)
+        iq = jnp.where(mask[..., None], iq, 0.0).astype(jnp.bfloat16)
+
+        # --- replica rows + taps ------------------------------------------ #
+        q1h = jax.nn.one_hot(q_idx, self.trk._tbl_q, dtype=jnp.float32)
+        rows = jnp.einsum("lq,qw->lw", q1h, cc["table"].astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+        m0 = self.trk._tbl_m0
+        rc = rows[:, m0:m0 + self.next].astype(jnp.bfloat16)
+        reps = jnp.stack(
+            [rc[:, self.smax + int(o):self.smax + int(o) + self.nwin]
+             for o in np.asarray(self.offsets)], axis=1)        # (L,t,nwin)
+        z = jnp.einsum("ltn,lnr->ltr", reps, iq,
+                       preferred_element_type=jnp.float32)      # (L,t,2)
+        cur_q = z[..., 0]
+        cur_i = z[..., 1]       # reference I/Q mapping (see loop.py)
+
+        # --- one filter update at k_c -------------------------------------- #
+        k_c = jnp.mod(st["sync_offset"] - 1 - st["cnt"], cc["loop"])
+        kc1h = jax.nn.one_hot(k_c, L, dtype=jnp.float32)
+        csum_i = st["sum_i"][None, :] + jnp.cumsum(cur_i, axis=0)
+        csum_q = st["sum_q"][None, :] + jnp.cumsum(cur_q, axis=0)
+        sum_i_u = jnp.einsum("l,lt->t", kc1h, csum_i)
+        sum_q_u = jnp.einsum("l,lt->t", kc1h, csum_q)
+        # oldsum at the update: prior + prev-carry + sums of taps[0..k_c-1]
+        csum_prev_i = jnp.cumsum(
+            jnp.concatenate([st["prev_i"][None, :], cur_i[:-1]], axis=0),
+            axis=0)
+        csum_prev_q = jnp.cumsum(
+            jnp.concatenate([st["prev_q"][None, :], cur_q[:-1]], axis=0),
+            axis=0)
+        oldsum_i_u = st["oldsum_i"] + jnp.einsum("l,lt->t", kc1h, csum_prev_i)
+        oldsum_q_u = st["oldsum_q"] + jnp.einsum("l,lt->t", kc1h, csum_prev_q)
+
+        # discriminators + NCOs (identical math to loop.py, prm2 only)
+        q2 = cfg.prm2
+        dt = cc["dt2"]
+        IP, QP = sum_i_u[0], sum_q_u[0]
+        oIP, oQP = oldsum_i_u[0], oldsum_q_u[0]
+        carr_err = jnp.where(
+            IP > 0, jnp.arctan2(QP, IP), jnp.arctan2(-QP, -IP)) / PI
+        f1 = jnp.where(IP == 0, PI / 2,
+                       jnp.arctan(QP / jnp.where(IP == 0, 1.0, IP)))
+        f2 = jnp.where(oIP == 0, PI / 2,
+                       jnp.arctan(oQP / jnp.where(oIP == 0, 1.0, oIP)))
+        freq_err = f1 - f2
+        freq_err = jnp.where(freq_err > PI / 2, PI - freq_err, freq_err)
+        freq_err = jnp.where(freq_err < -PI / 2, -PI - freq_err, freq_err)
+        carr_nco = (st["carr_nco"] + q2.pllaw * (carr_err - st["carr_err"])
+                    + q2.pllw2 * dt * carr_err + q2.fllw * dt * freq_err)
+        IE, QE = sum_i_u[cfg.ne], sum_q_u[cfg.ne]
+        IL, QL = sum_i_u[cfg.nl], sum_q_u[cfg.nl]
+        eE = jnp.sqrt(IE * IE + QE * QE)
+        eL = jnp.sqrt(IL * IL + QL * QL)
+        code_err = (eE - eL) / jnp.maximum(eE + eL, 1e-12)
+        code_nco = (st["code_nco"] + q2.dllaw * (code_err - st["code_err"])
+                    + q2.dllw2 * dt * code_err)
+
+        dcarr_hz = st["dcarr_acq"] + carr_nco
+        dcode_hz = -code_nco + dcarr_hz * cc["aid"]
+
+        # --- end-of-step carries ------------------------------------------- #
+        after = (ki > k_c.astype(jnp.float32))[:, None]
+        sum_i_end = jnp.sum(jnp.where(after, cur_i, 0.0), axis=0)
+        sum_q_end = jnp.sum(jnp.where(after, cur_q, 0.0), axis=0)
+        prevtaps_i = jnp.concatenate([st["prev_i"][None, :], cur_i[:-1]],
+                                     axis=0)
+        prevtaps_q = jnp.concatenate([st["prev_q"][None, :], cur_q[:-1]],
+                                     axis=0)
+        oldsum_i_end = jnp.sum(jnp.where(after, prevtaps_i, 0.0), axis=0)
+        oldsum_q_end = jnp.sum(jnp.where(after, prevtaps_q, 0.0), axis=0)
+
+        remcode_out = st["remcode"] + ci * d[L] - fc["clen_k"][L]
+        eL_end = (d[L].astype(jnp.int32) - L * nbar)
+        eL1h = jax.nn.one_hot(eL_end + self.emax, 2 * self.emax + 1,
+                              dtype=jnp.float32)
+        remcarr_out = frac(st["remcarr"] + fc["base_adv_k"][L]
+                           + jnp.dot(eL1h, fc["base_adv_e"])
+                           + frac(w * jnp.float32(L))
+                           + st["dcps"] * eL_end.astype(jnp.float32))
+
+        new = dict(
+            loc=st["loc"] + d[L].astype(jnp.int32),
+            cnt=st["cnt"] + L,
+            remcode=remcode_out, remcarr=remcarr_out,
+            dcps=dcarr_hz * self.ti,
+            dci=(-code_nco + dcarr_hz * cc["aid"]) * self.ti,
+            carr_nco=carr_nco, code_nco=code_nco,
+            carr_err=carr_err, code_err=code_err, freq_err=freq_err,
+            sum_i=sum_i_end, sum_q=sum_q_end,
+            oldsum_i=oldsum_i_end, oldsum_q=oldsum_q_end,
+            prev_i=cur_i[L - 1], prev_q=cur_q[L - 1],
+        )
+        # minimal device->host telemetry: per-period prompts + sample
+        # bookkeeping, everything else only at the (single) update period —
+        # the full per-period layout is reconstructed host-side.  This
+        # matters: output transfer over the TPU relay otherwise dominates.
+        out = dict(
+            ip=cur_i[:, 0], qp=cur_q[:, 0],
+            loc=st["loc"] + d[:L].astype(jnp.int32),
+            k_c=k_c,
+            n_u=jnp.einsum("l,l->", kc1h, n_k.astype(jnp.float32))
+                .astype(jnp.int32),
+            remcode_u=jnp.dot(kc1h, remcode_k),
+            remcarr_u=jnp.dot(kc1h, rem_k),
+            sum_i_u=sum_i_u, sum_q_u=sum_q_u,
+            dcarr=dcarr_hz, dcode=dcode_hz,
+            carr_err=carr_err, code_err=code_err,
+            carr_nco=carr_nco, code_nco=code_nco,
+        )
+        return new, out
+
+    # ------------------------------------------------------------------ #
+    def run_steps(self, carry, block, consts, fconsts, nsuper: int):
+        def step(st, _):
+            def one(cc, fcc, stc):
+                new, out = self._superstep(block, cc, fcc, stc)
+                act = stc["active"]
+                merged = {k: jnp.where(act, new[k], stc[k]) if k in new
+                          else stc[k] for k in stc}
+                return merged, out
+            return jax.vmap(one, in_axes=(0, 0, 0))(consts, fconsts, st)
+        return jax.lax.scan(step, carry, None, length=nsuper)
+
+    @functools.partial(jax.jit, static_argnums=(0, 5))
+    def _run(self, carry, block, consts, fconsts, nsuper: int):
+        return self.run_steps(carry, block, consts, fconsts, nsuper)
+
+    def run_block(self, state: TrackState, block, nsteps: int
+                  ) -> tuple[TrackState, TrackOutputs]:
+        """Drop-in run_block: ``nsteps`` must be a multiple of L; outputs
+        come back in per-period (steps, C, ...) layout."""
+        if nsteps % self.L:
+            raise ValueError(f"nsteps must be a multiple of L={self.L}")
+        if hasattr(block, "dtype") and jnp.iscomplexobj(block):
+            b = np.asarray(block)
+            block = jnp.asarray(np.stack([b.real, b.imag], axis=-1)
+                                .astype(np.float32))
+        carry = self.trk._state_to_dict(state)
+        S = nsteps // self.L
+        carry, outs = self._run(carry, block, self._consts, self._fconsts, S)
+        new_state = self.trk._dict_to_state(carry, state)
+        o = jax.device_get(outs)
+        L, C, taps = self.L, self.C, self.cfg.ntaps
+
+        def tolinear(a):
+            a = np.moveaxis(a, 2, 1)            # (S, L, C, ...)
+            return a.reshape((-1,) + a.shape[2:])
+
+        ip = tolinear(o["ip"])
+        qp = tolinear(o["qp"])
+        loc = tolinear(o["loc"])
+        steps = S * L
+        # reconstruct the per-period layout from update-time telemetry
+        kc = o["k_c"]                            # (S, C)
+        upd_rows = (np.arange(S)[:, None] * L + kc)          # (S, C)
+        flagloop = np.zeros((steps, C), np.int32)
+        n = np.full((steps, C), self.n_nom, np.int32)
+        remcode = np.zeros((steps, C), np.float32)
+        remcarr = np.zeros((steps, C), np.float32)
+        sum_i = np.zeros((steps, C, taps), np.float32)
+        sum_q = np.zeros((steps, C, taps), np.float32)
+        cols = np.broadcast_to(np.arange(C)[None, :], (S, C))
+        flagloop[upd_rows, cols] = 2
+        n[upd_rows, cols] = o["n_u"]
+        remcode[upd_rows, cols] = o["remcode_u"]
+        remcarr[upd_rows, cols] = o["remcarr_u"]
+        sum_i[upd_rows, cols] = o["sum_i_u"]
+        sum_q[upd_rows, cols] = o["sum_q_u"]
+
+        def widen(a):                            # (S, C) -> (steps, C)
+            return np.repeat(a, L, axis=0)
+
+        outs = dict(
+            ip=ip, qp=qp, loc=loc, n=n, remcode=remcode, remcarr=remcarr,
+            sum_i=sum_i, sum_q=sum_q,
+            dcarr=widen(o["dcarr"]), dcode=widen(o["dcode"]),
+            carr_err=widen(o["carr_err"]), code_err=widen(o["code_err"]),
+            carr_nco=widen(o["carr_nco"]), code_nco=widen(o["code_nco"]),
+            flagloopfilter=flagloop,
+        )
+        return new_state, TrackOutputs(**outs)

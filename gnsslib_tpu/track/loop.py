@@ -91,6 +91,8 @@ class Tracker:
         for i, c in enumerate(codes_list):
             code_mat[i, :len(c)] = c
         self.crate = np.asarray(crates, np.float64)
+        self._ctypes = ctypes
+        self._clens = clens
         self.ctime = np.asarray(clens, np.float64) / self.crate
         nsamp = np.round(f_sf * self.ctime).astype(np.int64)
         assert np.all(nsamp == nsamp[0]), \
@@ -110,6 +112,7 @@ class Tracker:
         chips = ci0[:, None] * i64[None, :]
         ks = self.n_nom + np.arange(-NSPAN, NSPAN + 1, dtype=np.float64)
         f_base = f_if + foffsets                          # (C,)
+        self._f_base = f_base
         ph = np.mod(f_base[:, None] * self.ti * i64[None, :self.nwin], 1.0)
         self.aid = (self.crate / f_cfs).astype(np.float32)
         self._consts = dict(
