@@ -259,7 +259,11 @@ class NavChannel:
             self.fbitsdec = self.fbits.copy()
             return
         sym = np.where(self.fbits == 1, 0, 255).astype(np.uint8)
-        bits = viterbi27_decode(sym, p.flen // 2)
+        from .. import native
+        if native.available():
+            bits = native.viterbi27_decode(sym, p.flen // 2)
+        else:
+            bits = viterbi27_decode(sym, p.flen // 2)
         dec = (1 - 2 * bits.astype(np.int64))
         self.fbitsdec = np.zeros_like(self.fbits)
         self.fbitsdec[:p.flen // 2] = dec

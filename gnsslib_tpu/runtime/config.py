@@ -57,6 +57,8 @@ class ReceiverConfig:
     sbasport: int = 9997
     spec: bool = False
     ref_week: int = 2200
+    relock: bool = False      # loss-of-lock detection + reacquisition
+                              # (absent in the reference; SURVEY.md §5)
 
 
 def _get(cp, sec, key, default=None):

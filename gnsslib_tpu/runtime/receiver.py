@@ -22,8 +22,14 @@ import time
 import numpy as np
 
 from ..acquire import Acquirer
-from ..constants import (ACQSLEEP, CodeType, SYS_GLO, OBSINTERPN)
+from ..constants import (ACQSLEEP, CodeType, SYS_GPS, SYS_GLO, SYS_SBS,
+                         SYS_QZS, OBSINTERPN)
+from ..diag.tracklog import TrackLogger
 from ..nav import NavChannel
+from ..nav.sbas import gen_novatel_sbasmsg
+from ..obs.rtcm import encode_1019, encode_1020, encode_msm7
+from ..sat import satno, satno2id
+from .tcpout import TcpServer
 from ..obs.epoch import ChannelObsInput, EpochAligner, SdrObs
 from ..obs.history import ObsHistory
 from ..obs.rinex import RinexObsWriter, RinexNavWriter
@@ -49,6 +55,7 @@ class ChannelRuntime:
     synced: bool = False
     last_acq_attempt: float = -1e9
     cn0: float = 0.0
+    peak_prompt: float = 0.0
 
 
 class Receiver:
@@ -117,6 +124,17 @@ class Receiver:
                 os.path.join(cfg.rinexpath, f"sdr_{stamp}.obs"), date)
             self.nav_writer = RinexNavWriter(
                 os.path.join(cfg.rinexpath, f"sdr_{stamp}.nav"), date)
+        self.rtcm_srv = TcpServer(cfg.rtcmport) if cfg.rtcm else None
+        self.sbas_srv = TcpServer(cfg.sbasport) if cfg.sbas else None
+        self.loggers = {}
+        if cfg.log:
+            os.makedirs(cfg.logpath, exist_ok=True)
+            for ch in self.channels:
+                sid = satno2id(satno(ch.cfg.sys, ch.cfg.prn)) or \
+                    f"C{ch.cfg.prn:02d}"
+                self.loggers[ch.idx] = TrackLogger(
+                    cfg.logpath, sid, cfg.track.corrn, cfg.track.corrd,
+                    float(self.trk.crate[ch.idx]), spec.f_if)
         self.epochs_written = 0
         self.ephs_written = 0
         self.events = []
@@ -165,6 +183,13 @@ class Receiver:
                 self.state = self.trk.set_bit_sync(self.state, i,
                                                    ch.nav.sync_offset)
                 ch.synced = True
+            if ch.cfg.ctype == CodeType.L1SBAS and self.sbas_srv:
+                self._send_sbas(ch, evs)
+            if i in self.loggers:
+                self.loggers[i].log_block(out, i, ch.nav, ch.hist,
+                                          int(cnt0[i]))
+            if self.cfg.relock and ch.synced:
+                self._check_lock(ch, out)
             if ch.nav.flagdec:
                 ch.hist.update(
                     cnts=was_started + np.arange(steps),
@@ -176,6 +201,48 @@ class Receiver:
                     firstsftow=ch.nav.firstsftow,
                     firstsfcnt=ch.nav.firstsfcnt,
                     flagsyncf=ch.nav.flagsyncf, polarity=ch.nav.polarity)
+
+    # ------------------------------------------------------------------ #
+    def _send_sbas(self, ch, evs) -> None:
+        """NovAtel-framed SBAS messages over TCP (src/sdrnav_sbs.c:100-140
+        incl. the cross-channel week borrow when MT12 hasn't arrived)."""
+        if not any(e.kind == "decode" for e in evs):
+            return
+        sb = ch.nav.sbas
+        if sb.week == 0:
+            for other in self.channels:
+                if other.nav.flagdec and other.nav.eph.week_gpst:
+                    sb.week = other.nav.eph.week_gpst
+                    sb.tow = other.hist.tow[0]
+                    break
+        if sb.week:
+            gen_novatel_sbasmsg(sb)
+            self.sbas_srv.send(bytes(sb.novatelmsg))
+
+    def _check_lock(self, ch, out) -> None:
+        """Loss-of-lock detection (absent in the reference — a channel
+        that fades keeps integrating noise forever, SURVEY.md §5); gated
+        by ReceiverConfig.relock.  Declares loss when the prompt coherent
+        sum stays below the noise-consistent threshold for a whole block,
+        then resets the channel to reacquire."""
+        i = ch.idx
+        upd = out.flagloopfilter[:, i] == 2
+        if not np.any(upd):
+            return
+        p = np.abs(out.sum_i[upd, i, 0]) + np.abs(out.sum_q[upd, i, 0])
+        # coherent prompt over `loop` periods: lock keeps |sum| well above
+        # the single-period noise scale; use a relative dropout test
+        if np.median(p) < 0.05 * max(ch.peak_prompt, 1e-9):
+            ch.locked = False
+            ch.synced = False
+            ch.nav = NavChannel(ch.cfg.ctype, ch.cfg.prn,
+                                ref_week=self.cfg.ref_week)
+            ch.hist.nrec = 0
+            ch.last_acq_attempt = -1e9
+            self.events.append(("lol", self.base / self.spec.f_sf,
+                                ch.cfg.prn))
+        else:
+            ch.peak_prompt = max(ch.peak_prompt, float(np.median(p)))
 
     # ------------------------------------------------------------------ #
     def _emit_epochs(self) -> list[list[SdrObs]]:
@@ -206,6 +273,14 @@ class Receiver:
                 epochs.append(obs)
                 if self.obs_writer:
                     self.obs_writer.write_epoch(obs)
+                if self.rtcm_srv:
+                    by_sys = {}
+                    for o in obs:
+                        by_sys.setdefault(o.sys, []).append(
+                            (o.prn, o.P, o.L, o.D, o.S))
+                    for sysid, lst in by_sys.items():
+                        self.rtcm_srv.send(encode_msm7(
+                            sysid, lst, obs[0].week, obs[0].tow))
                 self.epochs_written += 1
             k += 1
         self._oldreftow = newest
@@ -222,6 +297,14 @@ class Receiver:
                     elif ch.cfg.ctype == CodeType.L1CA:
                         self.nav_writer.write_eph(ch.cfg.sys, ch.cfg.prn,
                                                  eph.eph)
+                if self.rtcm_srv:
+                    if ch.cfg.ctype == CodeType.G1:
+                        self.rtcm_srv.send(encode_1020(ch.nav.prn,
+                                                       eph.geph))
+                    elif ch.cfg.ctype == CodeType.L1CA and \
+                            ch.cfg.sys == SYS_GPS:
+                        self.rtcm_srv.send(encode_1019(ch.cfg.prn,
+                                                       eph.eph))
         return epochs
 
     # ------------------------------------------------------------------ #
