@@ -144,8 +144,11 @@ class Acquirer:
                 mixed = self._mix_one_channel(data_rounds[r], base_c, d_cps)
                 p = fftcorr.fft_correlate_power(mixed, codex_c, self.nsamp)
                 return acc + p
-            acc0 = jnp.zeros((self.nfreq, self.nsamp), jnp.float32)
-            return jax.lax.fori_loop(0, self.intg, one_round, acc0)
+            # seed the accumulator with round 0 so it carries the same
+            # shard_map varying axes as the loop body's output
+            acc0 = one_round(0, jnp.zeros((self.nfreq, self.nsamp),
+                                          jnp.float32))
+            return jax.lax.fori_loop(1, self.intg, one_round, acc0)
         P = jax.lax.map(one_channel, (consts["codex_ri"],
                                       consts["base_phase"]))
         # acceptance test in the same program: one compile, and only the

@@ -14,7 +14,10 @@ import functools
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:                                     # jax >= 0.7 public API
+    from jax import shard_map
+except ImportError:                      # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..acquire.search import Acquirer, AcqResult
 from ..track.loop import Tracker, TrackOutputs
@@ -67,8 +70,7 @@ class ShardedTracker:
         fn = shard_map(
             local, mesh=self.mesh,
             in_specs=(P(ax), P(), P(ax)),
-            out_specs=(P(ax), P(None, ax)),
-            check_rep=False)
+            out_specs=(P(ax), P(None, ax)))
         jfn = jax.jit(fn)
         self._jit_cache[nsteps] = jfn
         return jfn
@@ -113,8 +115,7 @@ class ShardedAcquirer:
             local, mesh=mesh,
             in_specs=(P(), dict(codex_ri=P(ax), nsampchip=P(ax),
                                 base_phase=P(ax), d_cps=P())),
-            out_specs=(P(ax), P(ax), P(ax), P(ax), P(ax)),
-            check_rep=False))
+            out_specs=(P(ax), P(ax), P(ax), P(ax), P(ax))))
 
     def search(self, data: np.ndarray) -> AcqResult:
         import jax.numpy as jnp

@@ -308,6 +308,39 @@ class Receiver:
         return epochs
 
     # ------------------------------------------------------------------ #
+    def save_checkpoint(self, path: str) -> None:
+        """Snapshot the full receiver state: absolute sample index, the
+        device tracking pytree, and each channel's nav/observable state —
+        the resume story SURVEY.md §5 specifies (the reference has none)."""
+        import pickle
+        st = {f: np.asarray(getattr(self.state, f))
+              for f in self.state.__dataclass_fields__}
+        with open(path, "wb") as f:
+            pickle.dump(dict(
+                base=self.base, oldreftow=self._oldreftow,
+                state=st,
+                channels=[(ch.locked, ch.synced, ch.last_acq_attempt,
+                           ch.cn0, ch.peak_prompt, ch.nav, ch.hist)
+                          for ch in self.channels],
+                epochs=self.epochs_written, ephs=self.ephs_written), f)
+
+    def load_checkpoint(self, path: str) -> None:
+        """Restore a snapshot produced by save_checkpoint (same config)."""
+        import pickle
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        self.base = d["base"]
+        self._oldreftow = d["oldreftow"]
+        self.state = dataclasses.replace(
+            self.state, **{k: jnp.asarray(v) for k, v in d["state"].items()})
+        for ch, (locked, synced, laa, cn0, pk, nav, hist) in zip(
+                self.channels, d["channels"]):
+            ch.locked, ch.synced = locked, synced
+            ch.last_acq_attempt, ch.cn0, ch.peak_prompt = laa, cn0, pk
+            ch.nav, ch.hist = nav, hist
+        self.epochs_written = d["epochs"]
+        self.ephs_written = d["ephs"]
+
     def run_seconds(self, seconds: float | None = None,
                     progress=None) -> dict:
         """Process the stream (whole file by default).  Returns summary

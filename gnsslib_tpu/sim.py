@@ -162,3 +162,62 @@ def lnav_bit_stream(eph, tow_start: float, nframes: int = 2,
         bits.append(sf)
         tow6 += 1
     return np.concatenate(bits).astype(np.int8)
+
+
+def glonass_time_fields(t_gpst):
+    """Inverse of nav.glonass timing: GPST -> (tk_h, tk_m, tk_s30, nt, n4).
+
+    For building string 1/4/5 fields so that glot2time/merge_g1 recover
+    the same epoch (GLONASS ICD A.3.1.3; reference src/sdrnav_glo.c).
+    """
+    from .gtime import gpst2utc, time2epoch, timeadd, epoch2time, timediff
+    msk = timeadd(gpst2utc(t_gpst), 10800.0)      # Moscow time
+    ep = time2epoch(msk)
+    year = int(ep[0])
+    n4 = (year - 1996) // 4 + 1
+    j = year - (1996 + 4 * (n4 - 1))              # 0..3
+    y0 = epoch2time([1996 + 4 * (n4 - 1) + j, 1, 1, 0, 0, 0])
+    doy = int(timediff(msk, y0) // 86400) + 1
+    nt = doy + (0, 366, 731, 1096)[j]
+    return int(ep[3]), int(ep[4]), int(ep[5]) // 30 * 30, nt, n4
+
+
+def g1_string_bits(sid: int, fields) -> np.ndarray:
+    """85 logical bits (0/1) for one G1 string: idle 0 + 4-bit id +
+    (pos, len, value) payload fields."""
+    from .nav.bits import setbitu
+    buf = bytearray(11)
+    setbitu(buf, 1, 4, sid)
+    for pos, length, val in fields:
+        setbitu(buf, pos, length, int(val))
+    return np.unpackbits(np.frombuffer(bytes(buf), np.uint8))[:85].astype(
+        np.int64)
+
+
+def g1_symbol_stream(t0_gpst, nframes: int = 3, iode: int = 44,
+                     slot: int = 13) -> np.ndarray:
+    """GLONASS G1 line-symbol stream (±1 at 100 sps): real 15-string /
+    30-second frames with tk advancing per frame, so merge_g1 recovers
+    ``t0_gpst + 30*k`` as frame-k start (GLONASS ICD superframe layout;
+    strings 6-15 are almanac filler the decoder skips).  Feed as nav_bits
+    with nav_ms=10."""
+    from .gtime import timeadd
+    from .nav.glonass import TIMEMARK_G1, encode_string_g1
+    out = []
+    for fr in range(nframes):
+        h, m, s30, nt, n4 = glonass_time_fields(
+            timeadd(t0_gpst, 30.0 * fr))
+        strings = [
+            # field carries the Moscow-time hour; the decoder subtracts
+            # the 3 h bias (src/sdrnav_glo.c:30)
+            g1_string_bits(1, [(9, 5, h), (14, 6, m),
+                               (20, 1, s30 // 30)]),
+            g1_string_bits(2, [(9, 7, iode)]),
+            g1_string_bits(3, []),
+            g1_string_bits(4, [(59, 11, nt), (70, 5, slot)]),
+            g1_string_bits(5, [(49, 5, n4)]),
+        ] + [g1_string_bits(6 + k, []) for k in range(10)]
+        for st in strings:
+            out.append(encode_string_g1(st))
+            out.append(TIMEMARK_G1)
+    return np.concatenate(out).astype(np.int8)

@@ -172,3 +172,45 @@ def test_doppler_sign_and_magnitude(ran_receiver):
         prn = int(ln[1:3])
         d = float(ln[3 + 2 * 16:3 + 2 * 16 + 14])
         assert d == pytest.approx(500.0 + 100.0 * prn, abs=2.0)
+
+
+def test_checkpoint_resume(if_file):
+    """Stop mid-stream, snapshot, resume in a fresh Receiver: identical
+    RINEX-epoch production afterwards (SURVEY.md §5 resume story)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from gnsslib_tpu.io.frontend import FileFrontend, FrontendSpec
+    from gnsslib_tpu.constants import FrontendType
+    from gnsslib_tpu.runtime.config import ReceiverConfig, ChannelConfig
+    from gnsslib_tpu.runtime.receiver import Receiver
+    from gnsslib_tpu.track.state import TrackConfig
+
+    tmp, path = if_file
+    spec = FrontendSpec(fend=FrontendType.FILE, f_cf=1.57542e9, f_sf=F_SF,
+                        f_if=F_IF, dtype=DType.REAL)
+
+    def mk():
+        cfg = ReceiverConfig(
+            channels=[ChannelConfig(prn=3), ChannelConfig(prn=21)],
+            fends=[spec], files=[str(path)],
+            track=TrackConfig(corrn=4, corrd=2, corrp=2),
+            outms=400, rinex=False)
+        return Receiver(cfg, FileFrontend(str(path), spec))
+
+    # uninterrupted run
+    rx_full = mk()
+    rx_full.run_seconds()
+    # interrupted at 16 s + resume in a brand-new receiver
+    rx_a = mk()
+    rx_a.run_seconds(seconds=16.0)
+    ckpt = str(tmp / "rx.ckpt")
+    rx_a.save_checkpoint(ckpt)
+    rx_b = mk()
+    rx_b.load_checkpoint(ckpt)
+    rx_b.run_seconds()
+    assert rx_b.epochs_written == rx_full.epochs_written
+    assert sorted(ch.nav.flagdec for ch in rx_b.channels) == \
+        sorted(ch.nav.flagdec for ch in rx_full.channels)
+    e_full = [ch.nav.eph.eph.iode for ch in rx_full.channels]
+    e_b = [ch.nav.eph.eph.iode for ch in rx_b.channels]
+    assert e_full == e_b
