@@ -38,7 +38,7 @@ from .state import TrackState, loop_interval
 class FastTracker:
     """Wraps a table-mode Tracker for the post-bit-sync steady state."""
 
-    def __init__(self, tracker: Tracker):
+    def __init__(self, tracker: Tracker, use_pallas: bool | None = None):
         if tracker.cfg.resample != "table":
             raise ValueError("fast path needs the table resampler")
         loops = {int(loop_interval(ct)) for ct in tracker._ctypes}
@@ -77,6 +77,16 @@ class FastTracker:
                 .astype(np.float32)),                     # (C, L+1)
         )
         self._consts = tracker._consts
+        # total carrier base rate (cycles/sample, mod 1) for the fused
+        # Pallas mixer; phase error <= 2.5e-4 cycles over one window
+        self._fconsts["fbt"] = jnp.asarray(
+            np.mod(f_base * tracker.ti, 1.0).astype(np.float32))
+        # The fused Pallas correlator (ops/pallas_corr.py) is numerically
+        # validated standalone, but under the per-channel vmap its
+        # pallas_call batching mis-maps the scalar refs; enabling it needs
+        # the batch flattened outside the vmap (planned).  Default off.
+        self.use_pallas = bool(use_pallas) if use_pallas is not None \
+            else False
 
     # ------------------------------------------------------------------ #
     def init_state(self) -> TrackState:
@@ -123,34 +133,45 @@ class FastTracker:
         rem_k = frac(st["remcarr"] + fc["base_adv_k"][:L] + base_e
                      + frac(w * ki) + st["dcps"] * e_k.astype(jnp.float32))
 
-        # --- windows + mix ------------------------------------------------- #
+        # --- windows + replica rows ---------------------------------------- #
         win = jax.vmap(lambda s0: jax.lax.dynamic_slice_in_dim(
             block, s0, self.nwin))(wstart)                      # (L, nwin[,2])
-        i = jnp.arange(self.nwin, dtype=jnp.float32)
-        ph = frac(cc["base_phase"][None, :] + frac(st["dcps"] * i)[None, :]
-                  + rem_k[:, None])
-        rot = jnp.exp((2j * PI) * ph.astype(jnp.complex64))
-        if win.ndim == 3:
-            mixed = jax.lax.complex(win[..., 0], win[..., 1]) * rot
-        else:
-            mixed = win.astype(jnp.complex64) * rot
-        mask = (i[None, :] < n_k[:, None].astype(jnp.float32))
-        iq = jnp.stack([mixed.real, mixed.imag], axis=-1)
-        iq = jnp.where(mask[..., None], iq, 0.0).astype(jnp.bfloat16)
-
-        # --- replica rows + taps ------------------------------------------ #
         q1h = jax.nn.one_hot(q_idx, self.trk._tbl_q, dtype=jnp.float32)
         rows = jnp.einsum("lq,qw->lw", q1h, cc["table"].astype(jnp.float32),
                           preferred_element_type=jnp.float32)
         m0 = self.trk._tbl_m0
-        rc = rows[:, m0:m0 + self.next].astype(jnp.bfloat16)
-        reps = jnp.stack(
-            [rc[:, self.smax + int(o):self.smax + int(o) + self.nwin]
-             for o in np.asarray(self.offsets)], axis=1)        # (L,t,nwin)
-        z = jnp.einsum("ltn,lnr->ltr", reps, iq,
-                       preferred_element_type=jnp.float32)      # (L,t,2)
-        cur_q = z[..., 0]
-        cur_i = z[..., 1]       # reference I/Q mapping (see loop.py)
+        rc = rows[:, m0:m0 + self.next]
+
+        if self.use_pallas:
+            # fused mixer+correlator kernel: everything stays in VMEM
+            from ..ops.pallas_corr import correlate_windows_impl
+            z2 = correlate_windows_impl(
+                win, rc, rem_k, jnp.broadcast_to(fc["fbt"] + st["dcps"],
+                                                 (self.L,)),
+                n_k, tuple(int(o) for o in np.asarray(self.offsets)),
+                self.smax)                                      # (L, 2T)
+            cur_q = z2[:, 0::2]
+            cur_i = z2[:, 1::2]      # reference I/Q mapping (see loop.py)
+        else:
+            i = jnp.arange(self.nwin, dtype=jnp.float32)
+            ph = frac(cc["base_phase"][None, :]
+                      + frac(st["dcps"] * i)[None, :] + rem_k[:, None])
+            rot = jnp.exp((2j * PI) * ph.astype(jnp.complex64))
+            if win.ndim == 3:
+                mixed = jax.lax.complex(win[..., 0], win[..., 1]) * rot
+            else:
+                mixed = win.astype(jnp.complex64) * rot
+            mask = (i[None, :] < n_k[:, None].astype(jnp.float32))
+            iq = jnp.stack([mixed.real, mixed.imag], axis=-1)
+            iq = jnp.where(mask[..., None], iq, 0.0).astype(jnp.bfloat16)
+            rcb = rc.astype(jnp.bfloat16)
+            reps = jnp.stack(
+                [rcb[:, self.smax + int(o):self.smax + int(o) + self.nwin]
+                 for o in np.asarray(self.offsets)], axis=1)    # (L,t,nwin)
+            z = jnp.einsum("ltn,lnr->ltr", reps, iq,
+                           preferred_element_type=jnp.float32)  # (L,t,2)
+            cur_q = z[..., 0]
+            cur_i = z[..., 1]       # reference I/Q mapping (see loop.py)
 
         # --- one filter update at k_c -------------------------------------- #
         k_c = jnp.mod(st["sync_offset"] - 1 - st["cnt"], cc["loop"])
