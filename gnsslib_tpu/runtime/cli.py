@@ -44,6 +44,15 @@ def main(argv=None) -> int:
     ap.add_argument("--ftype", type=int, default=1,
                     help="front-end RF path to process (1 or 2)")
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--spec", action="store_true",
+                    help="write IF spectrum/histogram diagnostics "
+                         "(also enabled by [SPECTRUM] SPEC=1)")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a JAX profiler trace of the run")
+    ap.add_argument("--checkpoint", metavar="PATH", default=None,
+                    help="save a resumable receiver snapshot at the end")
+    ap.add_argument("--resume", metavar="PATH", default=None,
+                    help="load a snapshot saved with --checkpoint")
     args = ap.parse_args(argv)
 
     cfg = load_ini(args.config)
@@ -58,6 +67,36 @@ def main(argv=None) -> int:
     spec = cfg.fends[args.ftype - 1]
     fe = FileFrontend(path, spec)
     rx = Receiver(cfg, fe, ftype=args.ftype, nsteps_per_block=args.nsteps)
+    if args.resume:
+        rx.load_checkpoint(args.resume)
+
+    if args.spec or cfg.spec:
+        # reference spectrum analyzer view (src/sdrspec.c) over the first
+        # second of IF data
+        from ..constants import DType
+        from ..diag import sample_histogram, welch_spectrum
+        from ..diag.plots import plot_histogram, plot_spectrum
+        import numpy as np
+        x = fe.read(0, min(int(spec.f_sf), fe.nsamples))
+        outdir = cfg.rinexpath
+        import os as _os
+        _os.makedirs(outdir, exist_ok=True)
+        iq = x.ndim == 2
+        freq, pdb = welch_spectrum(x, spec.f_sf, iq=iq)
+        # bin width by front-end quantization: 8-bit formats get the full
+        # byte range, 2/3-bit LUT formats the reference's 3-bit view
+        from ..constants import FrontendType as _FT
+        nbit = 8 if spec.fend in (_FT.FILE, _FT.RTLSDR, _FT.FRTLSDR,
+                                  _FT.BLADERF, _FT.FBLADERF) else 3
+        edges, counts = sample_histogram(x, nbit=nbit)
+        np.savez(_os.path.join(outdir, "spectrum.npz"),
+                 freq=freq, pdb=pdb, edges=edges, counts=counts)
+        p1 = plot_spectrum(freq, pdb, _os.path.join(outdir, "spectrum.png"))
+        p2 = plot_histogram(edges, counts,
+                            _os.path.join(outdir, "histogram.png"))
+        if not args.quiet:
+            print(f"spectrum diagnostics: {outdir}/spectrum.npz"
+                  + (f", {p1}, {p2}" if p1 else " (matplotlib absent)"))
     if not args.quiet:
         print(f"erlang-gnss-tpu: {len(rx.channels)} channels, "
               f"f_sf={spec.f_sf/1e6:.3f} MHz, f_if={spec.f_if/1e6:.3f} MHz, "
@@ -70,7 +109,14 @@ def main(argv=None) -> int:
             print(f"\r  t={t:7.1f}s locked={locked} decoded={dec} "
                   f"epochs={rx.epochs_written}", end="", flush=True)
 
-    stats = rx.run_seconds(args.seconds, progress=progress)
+    if args.profile:
+        import jax
+        with jax.profiler.trace(args.profile):
+            stats = rx.run_seconds(args.seconds, progress=progress)
+    else:
+        stats = rx.run_seconds(args.seconds, progress=progress)
+    if args.checkpoint:
+        rx.save_checkpoint(args.checkpoint)
     if not args.quiet:
         print()
         for ev in rx.events:

@@ -97,12 +97,13 @@ class Receiver:
         self.block_len = (self.nsteps * self.nsamp + self.trk.nwin
                           + NSPAN * self.nsteps + 2 * self.nsamp + 64)
         self.base = 0                      # abs sample index of block start
-        depth = max(OBSINTERPN,
-                    int(2 * self.nsteps / min(loop_interval(c) for c in
-                                              self.ctypes)) + 8)
         self.channels = []
         for i, c in enumerate(chans):
             nav = NavChannel(c.ctype, c.prn, sat=0, ref_week=cfg.ref_week)
+            # deep enough to cover one block's worth of loop updates (so
+            # no epoch falls off before _emit_epochs sees it), per channel
+            depth = max(OBSINTERPN,
+                        2 * self.nsteps // loop_interval(c.ctype) + 8)
             hist = ObsHistory(
                 ctime=float(self.trk.ctime[i]), f_sf=spec.f_sf,
                 crate=float(self.trk.crate[i]),

@@ -155,3 +155,21 @@ def test_rinex_gnav_format(tmp_path):
     # -taun in first field
     v = float(body[0][23:42].replace("E", "e"))
     assert v == pytest.approx(-1e-7, rel=1e-9)
+
+
+def test_diag_spectrum_and_histogram():
+    from gnsslib_tpu.diag import sample_histogram, welch_spectrum
+    f_sf, f_tone = 2.048e6, 0.3e6
+    n = int(0.2 * f_sf)
+    rng = np.random.default_rng(3)
+    i = np.arange(n)
+    x = (3.0 * np.cos(2 * np.pi * f_tone * i / f_sf)
+         + rng.normal(0, 0.5, n)).astype(np.float32)
+    freq, pdb = welch_spectrum(x, f_sf, nfft=4096, nloop=20)
+    peak = freq[np.argmax(pdb)]
+    assert abs(peak - f_tone) < 2 * f_sf / 4096, peak
+    edges, counts = sample_histogram(x, nbit=4)
+    assert counts.sum() == n
+    assert len(edges) == 16
+    # mass concentrated within +-4 for a +-3.5 signal
+    assert counts[4:12].sum() > 0.9 * n
