@@ -81,10 +81,12 @@ class FastTracker:
         # Pallas mixer; phase error <= 2.5e-4 cycles over one window
         self._fconsts["fbt"] = jnp.asarray(
             np.mod(f_base * tracker.ti, 1.0).astype(np.float32))
-        # The fused Pallas correlator (ops/pallas_corr.py) is numerically
-        # validated standalone, but under the per-channel vmap its
-        # pallas_call batching mis-maps the scalar refs; enabling it needs
-        # the batch flattened outside the vmap (planned).  Default off.
+        # The fused Pallas correlator (ops/pallas_corr.py) is integrated
+        # as a flat (C*L) batch and numerically validated, but with one
+        # window per grid cell its per-cell dispatch latency dominates
+        # inside the sequential scan (~6 ms/step vs ~2.7 ms XLA).  Making
+        # it win needs multi-window cells (8, nwin) with vectorized
+        # scalar rows — the planned round-2 kernel shape.  Default off.
         self.use_pallas = bool(use_pallas) if use_pallas is not None \
             else False
 
@@ -96,21 +98,20 @@ class FastTracker:
         return self.trk.rebase(state, advance)
 
     # ------------------------------------------------------------------ #
-    def _superstep(self, block, cc, fc, st):
-        """One L-period super-step for one channel (vmapped over C)."""
-        cfg = self.cfg
-        L, nbar, taps = self.L, self.n_nom, cfg.ntaps
+    def _geo_only(self, block, cc, fc, st):
+        """Per-channel closed-form geometry for one super-step (vmapped):
+        period boundaries, replica rows, window slices, carrier phases."""
+        L, nbar = self.L, self.n_nom
         ci0 = cc["ci0"]
         ci = ci0 + st["dci"]
-        kf = jnp.arange(L + 1, dtype=jnp.float32)
         ki = jnp.arange(L, dtype=jnp.float32)
 
-        # --- closed-form period boundaries -------------------------------- #
+        # closed-form period boundaries
         d = jnp.round((fc["clen_k"] - st["remcode"]) / ci)      # (L+1,)
         n_k = (d[1:] - d[:-1]).astype(jnp.int32)                # (L,)
         remcode_k = st["remcode"] + ci * d[:L] - fc["clen_k"][:L]
 
-        # --- replica phase decomposition (table row + integer shift) ------ #
+        # replica phase decomposition (table row + integer shift)
         phi = remcode_k - ci0 * self.smax
         s = phi / ci0
         m = jnp.floor(s)
@@ -125,7 +126,7 @@ class FastTracker:
         e_k = dprime - (ki * nbar).astype(jnp.int32)            # small
         wstart = st["loc"] + dprime
 
-        # --- carrier phase per window ------------------------------------ #
+        # carrier phase per window
         e1h = jax.nn.one_hot(e_k + self.emax, 2 * self.emax + 1,
                              dtype=jnp.float32)                 # (L, 2E+1)
         base_e = jnp.einsum("le,e->l", e1h, fc["base_adv_e"])
@@ -133,7 +134,7 @@ class FastTracker:
         rem_k = frac(st["remcarr"] + fc["base_adv_k"][:L] + base_e
                      + frac(w * ki) + st["dcps"] * e_k.astype(jnp.float32))
 
-        # --- windows + replica rows ---------------------------------------- #
+        # windows + replica rows
         win = jax.vmap(lambda s0: jax.lax.dynamic_slice_in_dim(
             block, s0, self.nwin))(wstart)                      # (L, nwin[,2])
         q1h = jax.nn.one_hot(q_idx, self.trk._tbl_q, dtype=jnp.float32)
@@ -141,37 +142,43 @@ class FastTracker:
                           preferred_element_type=jnp.float32)
         m0 = self.trk._tbl_m0
         rc = rows[:, m0:m0 + self.next]
+        return dict(d=d, n_k=n_k, remcode_k=remcode_k, rem_k=rem_k,
+                    win=win, rc=rc)
 
-        if self.use_pallas:
-            # fused mixer+correlator kernel: everything stays in VMEM
-            from ..ops.pallas_corr import correlate_windows_impl
-            z2 = correlate_windows_impl(
-                win, rc, rem_k, jnp.broadcast_to(fc["fbt"] + st["dcps"],
-                                                 (self.L,)),
-                n_k, tuple(int(o) for o in np.asarray(self.offsets)),
-                self.smax)                                      # (L, 2T)
-            cur_q = z2[:, 0::2]
-            cur_i = z2[:, 1::2]      # reference I/Q mapping (see loop.py)
+    def _taps_xla(self, cc, geo, st):
+        """Batched-einsum tap computation (per channel, vmapped)."""
+        win, rc, rem_k, n_k = (geo["win"], geo["rc"], geo["rem_k"],
+                               geo["n_k"])
+        i = jnp.arange(self.nwin, dtype=jnp.float32)
+        ph = frac(cc["base_phase"][None, :]
+                  + frac(st["dcps"] * i)[None, :] + rem_k[:, None])
+        rot = jnp.exp((2j * PI) * ph.astype(jnp.complex64))
+        if win.ndim == 3:
+            mixed = jax.lax.complex(win[..., 0], win[..., 1]) * rot
         else:
-            i = jnp.arange(self.nwin, dtype=jnp.float32)
-            ph = frac(cc["base_phase"][None, :]
-                      + frac(st["dcps"] * i)[None, :] + rem_k[:, None])
-            rot = jnp.exp((2j * PI) * ph.astype(jnp.complex64))
-            if win.ndim == 3:
-                mixed = jax.lax.complex(win[..., 0], win[..., 1]) * rot
-            else:
-                mixed = win.astype(jnp.complex64) * rot
-            mask = (i[None, :] < n_k[:, None].astype(jnp.float32))
-            iq = jnp.stack([mixed.real, mixed.imag], axis=-1)
-            iq = jnp.where(mask[..., None], iq, 0.0).astype(jnp.bfloat16)
-            rcb = rc.astype(jnp.bfloat16)
-            reps = jnp.stack(
-                [rcb[:, self.smax + int(o):self.smax + int(o) + self.nwin]
-                 for o in np.asarray(self.offsets)], axis=1)    # (L,t,nwin)
-            z = jnp.einsum("ltn,lnr->ltr", reps, iq,
-                           preferred_element_type=jnp.float32)  # (L,t,2)
-            cur_q = z[..., 0]
-            cur_i = z[..., 1]       # reference I/Q mapping (see loop.py)
+            mixed = win.astype(jnp.complex64) * rot
+        mask = (i[None, :] < n_k[:, None].astype(jnp.float32))
+        iq = jnp.stack([mixed.real, mixed.imag], axis=-1)
+        iq = jnp.where(mask[..., None], iq, 0.0).astype(jnp.bfloat16)
+        rcb = rc.astype(jnp.bfloat16)
+        reps = jnp.stack(
+            [rcb[:, self.smax + int(o):self.smax + int(o) + self.nwin]
+             for o in np.asarray(self.offsets)], axis=1)        # (L,t,nwin)
+        z = jnp.einsum("ltn,lnr->ltr", reps, iq,
+                       preferred_element_type=jnp.float32)      # (L,t,2)
+        # reference I/Q mapping (see loop.py): cur_q=real, cur_i=imag
+        return z[..., 1], z[..., 0]
+
+    def _filter(self, cc, fc, st, geo, cur_i, cur_q):
+        """Loop-filter update + carries + outputs for one channel."""
+        cfg = self.cfg
+        L, nbar = self.L, self.n_nom
+        ci0 = cc["ci0"]
+        ci = ci0 + st["dci"]
+        ki = jnp.arange(L, dtype=jnp.float32)
+        d, n_k = geo["d"], geo["n_k"]
+        remcode_k, rem_k = geo["remcode_k"], geo["rem_k"]
+        w = frac(st["dcps"] * nbar)
 
         # --- one filter update at k_c -------------------------------------- #
         k_c = jnp.mod(st["sync_offset"] - 1 - st["cnt"], cc["loop"])
@@ -270,14 +277,37 @@ class FastTracker:
 
     # ------------------------------------------------------------------ #
     def run_steps(self, carry, block, consts, fconsts, nsuper: int):
+        offsets = tuple(int(o) for o in np.asarray(self.offsets))
+
         def step(st, _):
-            def one(cc, fcc, stc):
-                new, out = self._superstep(block, cc, fcc, stc)
+            geo = jax.vmap(functools.partial(self._geo_only, block)
+                           )(consts, fconsts, st)
+            if self.use_pallas:
+                # flat (C*L) batch through the fused VMEM kernel
+                from ..ops.pallas_corr import correlate_windows_impl
+                C, L = self.C, self.L
+                win = geo["win"]
+                B = C * L
+                ftot = jnp.broadcast_to(
+                    (fconsts["fbt"] + st["dcps"])[:, None], (C, L))
+                z2 = correlate_windows_impl(
+                    win.reshape((B,) + win.shape[2:]),
+                    geo["rc"].reshape(B, -1),
+                    geo["rem_k"].reshape(B), ftot.reshape(B),
+                    geo["n_k"].reshape(B), offsets, self.smax)
+                z2 = z2.reshape(C, L, -1)
+                cur_q = z2[..., 0::2]
+                cur_i = z2[..., 1::2]
+            else:
+                cur_i, cur_q = jax.vmap(self._taps_xla)(consts, geo, st)
+
+            def one(cc, fcc, stc, geoc, ci_, cq_):
+                new, out = self._filter(cc, fcc, stc, geoc, ci_, cq_)
                 act = stc["active"]
                 merged = {k: jnp.where(act, new[k], stc[k]) if k in new
                           else stc[k] for k in stc}
                 return merged, out
-            return jax.vmap(one, in_axes=(0, 0, 0))(consts, fconsts, st)
+            return jax.vmap(one)(consts, fconsts, st, geo, cur_i, cur_q)
         return jax.lax.scan(step, carry, None, length=nsuper)
 
     @functools.partial(jax.jit, static_argnums=(0, 5))
