@@ -95,6 +95,57 @@ def encode_1019(prn: int, eph: Eph) -> bytes:
     return frame_rtcm3(b, i)
 
 
+# --- type 1044: QZSS ephemeris (rtcm3e.c:942-1004) ----------------------------
+
+def encode_1044(prn: int, eph: Eph) -> bytes:
+    """QZSS LNAV ephemeris (prn 193-202)."""
+    b = bytearray(64)
+    i = 0
+
+    def u(n, v):
+        nonlocal i
+        setbitu(b, i, n, int(v) & ((1 << n) - 1))
+        i += n
+
+    def s(n, v):
+        nonlocal i
+        setbits(b, i, n, int(v))
+        i += n
+
+    toc_tow, _ = time2gpst(eph.toc)
+    u(12, 1044)
+    u(4, prn - 192)
+    u(16, _round(toc_tow / 16.0))
+    s(8, _round(eph.f2 / P2(55)))
+    s(16, _round(eph.f1 / P2(43)))
+    s(22, _round(eph.f0 / P2(31)))
+    u(8, eph.iode)
+    s(16, _round(eph.crs / P2(5)))
+    s(16, _round(eph.deln / P2(43) / math.pi))
+    s(32, _round(eph.M0 / P2(31) / math.pi))
+    s(16, _round(eph.cuc / P2(29)))
+    u(32, _round(eph.e / P2(33)))
+    s(16, _round(eph.cus / P2(29)))
+    u(32, _round(math.sqrt(eph.A) / P2(19)))
+    u(16, _round(eph.toes / 16.0))
+    s(16, _round(eph.cic / P2(29)))
+    s(32, _round(eph.OMG0 / P2(31) / math.pi))
+    s(16, _round(eph.cis / P2(29)))
+    s(32, _round(eph.i0 / P2(31) / math.pi))
+    s(16, _round(eph.crc / P2(5)))
+    s(32, _round(eph.omg / P2(31) / math.pi))
+    s(24, _round(eph.OMGd / P2(43) / math.pi))
+    s(14, _round(eph.idot / P2(43) / math.pi))
+    u(2, eph.code)
+    u(10, eph.week % 1024)
+    u(4, eph.sva)
+    u(6, eph.svh)
+    s(8, _round(eph.tgd[0] / P2(31)))
+    u(10, eph.iodc)
+    u(1, 0 if eph.fit == 2.0 else 1)
+    return frame_rtcm3(b, i)
+
+
 # --- type 1020: GLONASS ephemeris (rtcm3e.c:816-895) --------------------------
 
 def encode_1020(prn: int, geph: Geph) -> bytes:

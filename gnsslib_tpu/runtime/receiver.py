@@ -27,7 +27,7 @@ from ..constants import (ACQSLEEP, CodeType, SYS_GPS, SYS_GLO, SYS_SBS,
 from ..diag.tracklog import TrackLogger
 from ..nav import NavChannel
 from ..nav.sbas import gen_novatel_sbasmsg
-from ..obs.rtcm import encode_1019, encode_1020, encode_msm7
+from ..obs.rtcm import encode_1019, encode_1020, encode_1044, encode_msm7
 from ..sat import satno, satno2id
 from .tcpout import TcpServer
 from ..obs.epoch import ChannelObsInput, EpochAligner, SdrObs
@@ -302,6 +302,10 @@ class Receiver:
                     if ch.cfg.ctype == CodeType.G1:
                         self.rtcm_srv.send(encode_1020(ch.nav.prn,
                                                        eph.geph))
+                    elif ch.cfg.ctype == CodeType.L1CA and \
+                            ch.cfg.sys == SYS_QZS:
+                        self.rtcm_srv.send(encode_1044(ch.cfg.prn,
+                                                       eph.eph))
                     elif ch.cfg.ctype == CodeType.L1CA and \
                             ch.cfg.sys == SYS_GPS:
                         self.rtcm_srv.send(encode_1019(ch.cfg.prn,

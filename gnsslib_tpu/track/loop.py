@@ -186,11 +186,18 @@ class Tracker:
                      ) -> TrackState:
         """Host reports nav bit sync for one channel: switch to prm2 cadence
         with loop updates at cnt ≡ sync_offset (mod loop)."""
-        return dataclasses.replace(
+        new = dataclasses.replace(
             state,
             flagsync=state.flagsync.at[ch].set(True),
             sync_offset=state.sync_offset.at[ch].set(int(sync_offset)),
         )
+        if self.cfg.reset_nco_on_sync:
+            # drop prm1 jitter: code rate restarts at the carrier-aided
+            # value (code_nco=0 -> codefreq = crate + dcarr*aid)
+            new = dataclasses.replace(
+                new, code_nco=new.code_nco.at[ch].set(0.0),
+                code_err=new.code_err.at[ch].set(0.0))
+        return new
 
     # ------------------------------------------------------------------ #
     def _channel_step(self, block, cc, st):

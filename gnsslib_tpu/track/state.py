@@ -64,6 +64,13 @@ class TrackConfig:
     # dynamic_slice (TPU-fast; <=1/512-chip replica phase quantization);
     # "exact" = per-sample gather bit-matching the reference's rescode
     resample: str = "table"
+    # reset the code NCO at bit-sync handoff: the per-period prm1 DLL
+    # chases the resampler's S-curve bias, leaving several Hz of code-rate
+    # jitter in the NCO; the narrow prm2 loop can inherit it and walk off
+    # (observed at ~2 samples/chip).  The reference carries the jitter
+    # over (src/sdrmain.c:277-279); resetting to the carrier-aided rate is
+    # a strictly safer start.  Disable for bit-faithful dynamics.
+    reset_nco_on_sync: bool = True
 
     @property
     def ntaps(self) -> int:

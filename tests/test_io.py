@@ -107,3 +107,29 @@ def test_ppm_foffset():
                         f_sf=2.048e6, f_if=0.0, dtype=DType.IQ, ppmerr=30.0)
     # reference: foffset = -PPMERR*1e-6*CF (src/sdrinit.c:616-617)
     assert abs(spec.foffset - (-30e-6 * 1.57542e9)) < 1e-6
+
+
+def test_stream_frontend_follows_growing_file(tmp_path):
+    import threading
+    import time as _time
+    from gnsslib_tpu.io.live import StreamFrontend
+
+    p = tmp_path / "grab.bin"
+    p.write_bytes(np.arange(16, dtype=np.int8).tobytes())
+    spec = FrontendSpec(fend=FrontendType.FILE, f_cf=1.57542e9, f_sf=1e6,
+                        f_if=0.0, dtype=DType.REAL)
+    fe = StreamFrontend(str(p), spec, poll_s=0.01, timeout_s=2.0)
+
+    def producer():
+        _time.sleep(0.15)
+        with open(p, "ab") as f:
+            f.write(np.arange(16, 64, dtype=np.int8).tobytes())
+
+    th = threading.Thread(target=producer)
+    th.start()
+    # blocks until the producer catches up
+    x = fe.read(8, 40)
+    th.join()
+    assert np.array_equal(x, np.arange(8, 48))
+    assert fe.nsamples == 64
+    fe.close()

@@ -97,3 +97,14 @@ def test_frame_padding():
     msg = frame_rtcm3(payload, 73)   # 73 bits -> 10 bytes
     body = _check_frame(msg)
     assert len(body) == 10
+
+
+def test_1044_roundtrip():
+    from gnsslib_tpu.obs.rtcm import encode_1044
+    eph = sim.example_eph(prn=195, week=2200, toe_tow=352800.0).eph
+    msg = encode_1044(195, eph)
+    body = _check_frame(msg)
+    assert getbitu(body, 0, 12) == 1044
+    assert getbitu(body, 12, 4) == 3
+    # toc (16b at 16), af2(8), af1(16), af0(22), iode at 78
+    assert getbitu(body, 78, 8) == eph.iode

@@ -156,3 +156,33 @@ def test_table_resampler_lock():
     pt = np.mean(np.abs(out_t.ip[-100:, 0]))
     pe = np.mean(np.abs(out_e.ip[-100:, 0]))
     assert pt > 0.99 * pe
+
+
+def test_l1c_pilot_tracking():
+    """L1C data-channel (BOC(1,1), 10 ms period) tracks: the code family
+    beyond L1CA works through the same Tracker (codes/l1c.py)."""
+    from gnsslib_tpu.constants import CodeType
+    f_sf, prn = 4.092e6, 9
+    # L1CD chips run at 2.046 Mcps (BOC(1,1) elements)
+    ch = sim.SimChannel(prn=prn, ctype=CodeType.L1CD, doppler=450.0,
+                        code_phase=-1000 * 2.046e6 / f_sf, carr_phase=0.2)
+    n = int(1.4 * f_sf)
+    data = np.asarray(sim.synthesize([ch], f_sf, F_IF, DType.REAL, n),
+                      np.float32)
+    # 10 ms periods mean a 100 Hz loop-update rate: bandwidths must keep
+    # B*T < ~0.15 (the reference's L1CA prm1 30 Hz PLL would be unstable)
+    from gnsslib_tpu.track import LoopParams
+    cfg = TrackConfig(corrn=4, corrd=2, corrp=2,
+                      prm1=LoopParams.from_bandwidths(2.0, 12.0, 50.0),
+                      prm2=LoopParams.from_bandwidths(1.0, 8.0, 20.0))
+    trk = Tracker(cfg, [prn], [CodeType.L1CD], f_sf, F_IF, DType.REAL)
+    assert trk.n_nom == 40920          # 10 ms code period
+    st = trk.init_state()
+    st = trk.start_channels(st, [0], [1000], [-450.0])
+    nsteps = int((n - 1000 - trk.nwin - 80) // (trk.n_nom + 8))
+    st, out = trk.run_block(st, jnp.asarray(data), nsteps)
+    d_end = -np.mean(out.dcarr[-10:, 0])
+    assert abs(d_end - 450.0) < 15.0   # 12 Hz PLL still settling (noiseless)
+    ip = out.ip[-20:, 0]
+    qp = out.qp[-20:, 0]
+    assert np.mean(np.abs(ip)) > 6 * np.mean(np.abs(qp))
