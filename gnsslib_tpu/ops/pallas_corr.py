@@ -115,3 +115,76 @@ def correlate_windows_impl(windows, rc, rem, ftot, n, offsets, smax,
 correlate_windows = jax.jit(
     correlate_windows_impl,
     static_argnames=("offsets", "smax", "interpret"))
+
+
+# --- multi-window cells: 8 windows per grid step ---------------------------
+
+def _kernel8(win_ref, rc_ref, rem_ref, ftot_ref, n_ref, out_ref,
+             *, offsets, smax, nwin, iq):
+    i = jax.lax.broadcasted_iota(jnp.int32, (8, nwin), 1).astype(jnp.float32)
+    rem = rem_ref[:, :]                   # (8, 1) VMEM column
+    ftot = ftot_ref[:, :]
+    n = n_ref[:, :]
+    ph = _frac(_frac(ftot * i) + rem)
+    ang = (2.0 * PI) * ph
+    cosv = jnp.cos(ang)
+    sinv = jnp.sin(ang)
+    mask = (i < n).astype(jnp.float32)
+    if iq:
+        wr = win_ref[:, :, 0]
+        wi = win_ref[:, :, 1]
+        wc = (wr * cosv - wi * sinv) * mask
+        ws = (wr * sinv + wi * cosv) * mask
+    else:
+        w = win_ref[:, :]
+        wc = w * cosv * mask
+        ws = w * sinv * mask
+    cols = []
+    for t, o in enumerate(offsets):
+        rep = rc_ref[:, smax + o:smax + o + nwin]
+        cols.append(jnp.sum(rep * wc, axis=1))
+        cols.append(jnp.sum(rep * ws, axis=1))
+    out_ref[:, :] = jnp.stack(cols, axis=1)
+
+
+def correlate_windows8_impl(windows, rc, rem, ftot, n, offsets, smax,
+                            interpret=False):
+    """Like correlate_windows_impl but with 8 windows per grid cell —
+    amortizes per-cell dispatch so the kernel stays fast inside a
+    sequential scan.  B must be a multiple of 8 (pad with zero-n rows)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = windows.shape[0]
+    assert B % 8 == 0, "pad the batch to a multiple of 8"
+    nwin = windows.shape[1]
+    iq = windows.ndim == 3
+    nout = 2 * len(offsets)
+
+    win_spec = pl.BlockSpec(
+        (8, nwin, 2) if iq else (8, nwin),
+        (lambda b: (b, 0, 0)) if iq else (lambda b: (b, 0)),
+        memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _kernel8, offsets=tuple(int(o) for o in offsets), smax=int(smax),
+        nwin=int(nwin), iq=iq)
+    col = lambda x: x.reshape(B, 1)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, nout), jnp.float32),
+        grid=(B // 8,),
+        in_specs=[
+            win_spec,
+            pl.BlockSpec((8, rc.shape[1]), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 1), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 1), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 1), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, nout), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(windows, rc, col(rem), col(ftot), col(n.astype(jnp.float32)))

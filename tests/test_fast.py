@@ -70,3 +70,27 @@ def test_fast_requires_table_and_sync_cadence():
     ft = FastTracker(trk2)
     with pytest.raises(ValueError):
         ft.run_block(ft.init_state(), jnp.zeros(100000, jnp.float32), 1001)
+
+
+def test_fast_pallas_interpret_matches_xla():
+    """The fused Pallas correlator path (interpret mode on CPU) matches
+    the XLA formulation through the full FastTracker."""
+    f_sf = 1.023e6          # 1 sample/chip: small kernel shapes
+    ch = sim.SimChannel(prn=3, doppler=300.0, code_phase=-100.0,
+                        carr_phase=0.1)
+    data = np.asarray(sim.synthesize([ch], f_sf, f_sf / 4, DType.REAL,
+                                     int(0.35 * f_sf)), np.float32)
+    cfg = TrackConfig(corrn=1, corrd=1, corrp=1)
+    trk = Tracker(cfg, [3], [CodeType.L1CA], f_sf, f_sf / 4, DType.REAL)
+    st = trk.init_state()
+    st = trk.start_channels(st, [0], [100], [-300.0])
+    block = jnp.asarray(data)
+    st, _ = trk.run_block(st, block, 200)
+    st = trk.set_bit_sync(st, 0, 0)
+    fx = FastTracker(trk, use_pallas=False)
+    fp = FastTracker(trk, use_pallas="interpret")
+    _, out_x = fx.run_block(st, block, 60)
+    _, out_p = fp.run_block(st, block, 60)
+    assert np.array_equal(out_x.loc, out_p.loc)
+    np.testing.assert_allclose(out_x.ip, out_p.ip, rtol=5e-3, atol=3.0)
+    np.testing.assert_allclose(out_x.dcarr, out_p.dcarr, atol=0.5)
