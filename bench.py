@@ -21,6 +21,13 @@ import numpy as np
 
 def main() -> int:
     import jax
+    try:
+        jax.devices()
+    except RuntimeError:
+        # TPU tunnel unavailable (transient "No jellyfish device" or held
+        # by another process): still produce the metric on CPU so the
+        # record is not empty; the value is then NOT the TPU number.
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from gnsslib_tpu import sim
     from gnsslib_tpu.constants import CodeType, DType
@@ -80,6 +87,21 @@ def main() -> int:
         "vs_baseline": round(msps / 16.368, 3),
     }
     print(json.dumps(result))
+    # secondary metric: cold-start acquisition throughput (Doppler bins/s)
+    try:
+        from gnsslib_tpu.acquire import Acquirer
+        acq = Acquirer(prns, [CodeType.L1CA] * C, f_sf, f_if, DType.REAL)
+        head = np.asarray(x[: (acq.intg + 2) * nsamp], np.float32)
+        acq.search(head)                      # compile
+        t0 = time.time()
+        acq.search(head)
+        acq_wall = time.time() - t0
+        bins_per_s = C * acq.nfreq * acq.intg / acq_wall
+        print(f"# acq: {bins_per_s/1e3:.0f}k (chan x Doppler x round) "
+              f"bins/s ({acq_wall*1e3:.0f} ms per 32-ch cold start)",
+              file=sys.stderr)
+    except Exception as e:                    # pragma: no cover
+        print(f"# acq metric skipped: {e}", file=sys.stderr)
     print(f"# device={jax.devices()[0].platform} compile={compile_s:.1f}s "
           f"steps/s={reps * nsteps / wall:.0f} "
           f"channel-Msps={msps * C:.1f}", file=sys.stderr)

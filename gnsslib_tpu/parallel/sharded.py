@@ -84,7 +84,13 @@ class ShardedTracker:
         carry, outs = self._sharded_fn(int(nsteps))(carry, block,
                                                     self._consts)
         new_state = self.trk._dict_to_state(carry, state)
-        outs = {k: np.asarray(v) for k, v in outs.items()}
+        if jax.process_count() > 1:
+            # multi-controller: shards live on other hosts too
+            from jax.experimental import multihost_utils
+            outs = multihost_utils.process_allgather(outs, tiled=True)
+            outs = {k: np.asarray(v) for k, v in outs.items()}
+        else:
+            outs = {k: np.asarray(v) for k, v in outs.items()}
         return new_state, TrackOutputs(**outs)
 
 
