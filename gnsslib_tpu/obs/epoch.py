@@ -124,21 +124,29 @@ class EpochAligner:
                          dtype=np.int64)
         remc = np.array([c.hist.remc[ind[i]] for i, c in enumerate(chans)])
 
-        # reference satellite = nearest (minimum codei, src/sdrsync.c:88-98)
-        refi = int(np.argmin(codei))
+        # reference satellite = nearest.  The reference compares raw sample
+        # counts (minimum codei, src/sdrsync.c:88-98) — valid there because
+        # both STEREO paths share one byte clock; here channels may live on
+        # front ends with different sample rates, so compare and anchor in
+        # RECEIVER TIME (seconds of the shared capture clock: all paths are
+        # sample-synchronous from stream start, sample k <-> t = k*ti).
+        t_arrive = codei.astype(np.float64) * np.array(
+            [c.ti for c in chans])
+        refi = int(np.argmin(t_arrive))
         ref = chans[refi]
         diffcnt = int(ref.hist.cnt[ind[refi]]) - ref.firstsfcnt
         sampref = ref.firstsf + int(
             ref.nsamp * (-PTIMING / (1000.0 * ref.ctime) + diffcnt))
-        sampbase = int(ref.hist.codei[-1]) - 10 * ref.nsamp
-        samprefd = float(sampref - sampbase)
+        tref = sampref * ref.ti
+        tbase = (int(ref.hist.codei[-1]) - 10 * ref.nsamp) * ref.ti
+        trefd = tref - tbase
 
         out = []
         for i, c in enumerate(chans):
-            P = CLIGHT * c.ti * (float(codei[i] - sampref) - remc[i])
-            codeid = (c.hist.codei - sampbase).astype(np.float64)
-            L = interp1(codeid, c.hist.L, samprefd)
-            D = interp1(codeid, c.hist.D, samprefd)
+            P = CLIGHT * ((float(codei[i]) - remc[i]) * c.ti - tref)
+            codeid = c.hist.codei.astype(np.float64) * c.ti - tbase
+            L = interp1(codeid, c.hist.L, trefd)
+            D = interp1(codeid, c.hist.D, trefd)
             out.append(SdrObs(sys=c.sys, prn=c.prn, week=c.week,
                               tow=reftow + PTIMING / 1000.0,
                               P=P, L=L, D=D, S=float(c.hist.S[0])))

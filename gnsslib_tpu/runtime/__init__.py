@@ -5,6 +5,7 @@ The pthread fan-out becomes one block-streamed pipeline: load IF block ->
 device acquisition/tracking programs -> host nav/observables/output.
 """
 from .config import ReceiverConfig, ChannelConfig, load_ini
-from .receiver import Receiver
+from .receiver import DualReceiver, OutputHub, Receiver
 
-__all__ = ["ReceiverConfig", "ChannelConfig", "load_ini", "Receiver"]
+__all__ = ["ReceiverConfig", "ChannelConfig", "load_ini", "Receiver",
+           "DualReceiver", "OutputHub"]

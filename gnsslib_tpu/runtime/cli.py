@@ -12,7 +12,7 @@ import sys
 
 from ..io.frontend import FileFrontend
 from .config import load_ini
-from .receiver import Receiver
+from .receiver import DualReceiver, Receiver
 
 
 def _honor_jax_platforms() -> None:
@@ -41,8 +41,9 @@ def main(argv=None) -> int:
                     help="limit processing to the first N stream seconds")
     ap.add_argument("--nsteps", type=int, default=400,
                     help="code periods per device block")
-    ap.add_argument("--ftype", type=int, default=1,
-                    help="front-end RF path to process (1 or 2)")
+    ap.add_argument("--ftype", type=int, default=0,
+                    help="front-end RF path to process (1 or 2; default "
+                         "0 = every path with configured channels)")
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--spec", action="store_true",
                     help="write IF spectrum/histogram diagnostics "
@@ -60,13 +61,33 @@ def main(argv=None) -> int:
         print("error: config has no front end ([FEND] missing?)",
               file=sys.stderr)
         return 1
-    path = cfg.files[args.ftype - 1] if len(cfg.files) >= args.ftype else ""
-    if not path:
-        print("error: no IF file configured (FILE1/FILE2)", file=sys.stderr)
+    if args.ftype and not (1 <= args.ftype <= len(cfg.fends)):
+        print(f"error: --ftype {args.ftype} but config defines "
+              f"{len(cfg.fends)} front-end path(s)", file=sys.stderr)
         return 1
-    spec = cfg.fends[args.ftype - 1]
-    fe = FileFrontend(path, spec)
-    rx = Receiver(cfg, fe, ftype=args.ftype, nsteps_per_block=args.nsteps)
+    ch_ftypes = sorted({c.ftype for c in cfg.channels
+                        if len(cfg.fends) >= c.ftype})
+    dual = args.ftype == 0 and len(ch_ftypes) >= 2
+    use_ftypes = ch_ftypes if dual else [args.ftype or (ch_ftypes or [1])[0]]
+    fes = []
+    for ft in use_ftypes:
+        path = cfg.files[ft - 1] if len(cfg.files) >= ft else ""
+        if not path:
+            # packed dual-path formats (STEREO) carry both RF paths in
+            # FILE1's byte stream
+            path = cfg.files[0] if cfg.files else ""
+        if not path:
+            print("error: no IF file configured (FILE1/FILE2)",
+                  file=sys.stderr)
+            return 1
+        fes.append(FileFrontend(path, cfg.fends[ft - 1]))
+    spec = fes[0].spec
+    fe = fes[0]
+    if dual:
+        rx = DualReceiver(cfg, fes, nsteps_per_block=args.nsteps)
+    else:
+        rx = Receiver(cfg, fe, ftype=use_ftypes[0],
+                      nsteps_per_block=args.nsteps)
     if args.resume:
         rx.load_checkpoint(args.resume)
 

@@ -58,17 +58,115 @@ class ChannelRuntime:
     peak_prompt: float = 0.0
 
 
+class OutputHub:
+    """Shared output stage: RINEX/RTCM/SBAS writers plus the common-epoch
+    clock.  One hub per RECEIVER (not per front end) — with two RF paths
+    the reference's sync thread merges both paths' channels into one
+    observation stream (src/sdrsync.c:49-135 iterates sdrch[] across all
+    front ends); sharing the hub is what makes cross-path (e.g. STEREO
+    L1+G1) pseudoranges land in the same RINEX epoch."""
+
+    def __init__(self, cfg: ReceiverConfig):
+        self.cfg = cfg
+        self.aligner = EpochAligner(cfg.outms)
+        self.outms_ms = int(cfg.outms)
+        self._oldreftow = 0.0
+        self.obs_writer: RinexObsWriter | None = None
+        self.nav_writer: RinexNavWriter | None = None
+        if cfg.rinex:
+            ts = time.gmtime()
+            stamp = time.strftime("%Y%m%d%H%M%S", ts)
+            date = [ts.tm_year, ts.tm_mon, ts.tm_mday, ts.tm_hour,
+                    ts.tm_min, ts.tm_sec]
+            os.makedirs(cfg.rinexpath, exist_ok=True)
+            self.obs_writer = RinexObsWriter(
+                os.path.join(cfg.rinexpath, f"sdr_{stamp}.obs"), date)
+            self.nav_writer = RinexNavWriter(
+                os.path.join(cfg.rinexpath, f"sdr_{stamp}.nav"), date)
+        self.rtcm_srv = TcpServer(cfg.rtcmport) if cfg.rtcm else None
+        self.sbas_srv = TcpServer(cfg.sbasport) if cfg.sbas else None
+        self.epochs_written = 0
+        self.ephs_written = 0
+
+    def emit_epochs(self, inputs: list[ChannelObsInput]
+                    ) -> list[list[SdrObs]]:
+        """Emit every OUTMS-grid epoch now covered by ALL given channel
+        histories (may span several front ends)."""
+        if not inputs:
+            return []
+        newest = min(float(c.hist.tow[0]) for c in inputs)
+        lo = self._oldreftow if self._oldreftow > 0 else newest - 0.6
+        epochs = []
+        # integer epoch indices on the outms grid (float division would
+        # re-emit boundary epochs)
+        k = int(np.floor(lo * 1000.0 / self.outms_ms + 1e-6)) + 1
+        while k * self.outms_ms <= newest * 1000.0 + 1e-3:
+            t = k * self.outms_ms / 1000.0
+            obs = self.aligner._epoch_at(inputs, t)
+            if obs:
+                epochs.append(obs)
+                if self.obs_writer:
+                    self.obs_writer.write_epoch(obs)
+                if self.rtcm_srv:
+                    by_sys = {}
+                    for o in obs:
+                        by_sys.setdefault(o.sys, []).append(
+                            (o.prn, o.P, o.L, o.D, o.S))
+                    for sysid, lst in by_sys.items():
+                        self.rtcm_srv.send(encode_msm7(
+                            sysid, lst, obs[0].week, obs[0].tow))
+                self.epochs_written += 1
+            k += 1
+        self._oldreftow = newest
+        return epochs
+
+    def emit_nav(self, channels: list["ChannelRuntime"]) -> None:
+        """Nav records on ephemeris update (src/sdrsync.c:137-156);
+        idempotent per eph.update flag, so each front end's receiver may
+        call it with its own channel list."""
+        for ch in channels:
+            eph = ch.nav.eph
+            if eph.update and eph.cnt >= eph.cntth:
+                eph.cnt = 0
+                eph.update = False
+                self.ephs_written += 1
+                if self.nav_writer:
+                    if ch.cfg.ctype == CodeType.G1:
+                        self.nav_writer.write_geph(ch.nav.prn, eph.geph)
+                    elif ch.cfg.ctype == CodeType.L1CA:
+                        self.nav_writer.write_eph(ch.cfg.sys, ch.cfg.prn,
+                                                  eph.eph)
+                if self.rtcm_srv:
+                    if ch.cfg.ctype == CodeType.G1:
+                        self.rtcm_srv.send(encode_1020(ch.nav.prn,
+                                                       eph.geph))
+                    elif ch.cfg.ctype == CodeType.L1CA and \
+                            ch.cfg.sys == SYS_QZS:
+                        self.rtcm_srv.send(encode_1044(ch.cfg.prn,
+                                                       eph.eph))
+                    elif ch.cfg.ctype == CodeType.L1CA and \
+                            ch.cfg.sys == SYS_GPS:
+                        self.rtcm_srv.send(encode_1019(ch.cfg.prn,
+                                                       eph.eph))
+
+
 class Receiver:
     """One front-end group receiver (all channels share f_sf/f_if/dtype).
 
     ``frontend`` provides ``read(start, n)`` + ``nsamples`` (io.FileFrontend
     or any duck-typed source, e.g. a synthesizer for tests).
+
+    ``hub`` — pass a shared :class:`OutputHub` (and ``standalone=False``)
+    to merge this path's observables with other front ends'; by default
+    the receiver owns its hub and emits epochs itself.
     """
 
     def __init__(self, cfg: ReceiverConfig, frontend, ftype: int = 1,
-                 nsteps_per_block: int = 400):
+                 nsteps_per_block: int = 400, hub: OutputHub | None = None,
+                 standalone: bool = True):
         self.cfg = cfg
         self.frontend = frontend
+        self.standalone = standalone
         spec = cfg.fends[ftype - 1]
         self.spec = spec
         chans = [c for c in cfg.channels if c.ftype == ftype]
@@ -110,23 +208,7 @@ class Receiver:
                 loop_periods=loop_interval(c.ctype), depth=depth)
             self.channels.append(ChannelRuntime(idx=i, cfg=c, nav=nav,
                                                 hist=hist))
-        self.aligner = EpochAligner(cfg.outms)
-        self.outms_ms = int(cfg.outms)
-        self._oldreftow = 0.0
-        self.obs_writer: RinexObsWriter | None = None
-        self.nav_writer: RinexNavWriter | None = None
-        if cfg.rinex:
-            ts = time.gmtime()
-            stamp = time.strftime("%Y%m%d%H%M%S", ts)
-            date = [ts.tm_year, ts.tm_mon, ts.tm_mday, ts.tm_hour,
-                    ts.tm_min, ts.tm_sec]
-            os.makedirs(cfg.rinexpath, exist_ok=True)
-            self.obs_writer = RinexObsWriter(
-                os.path.join(cfg.rinexpath, f"sdr_{stamp}.obs"), date)
-            self.nav_writer = RinexNavWriter(
-                os.path.join(cfg.rinexpath, f"sdr_{stamp}.nav"), date)
-        self.rtcm_srv = TcpServer(cfg.rtcmport) if cfg.rtcm else None
-        self.sbas_srv = TcpServer(cfg.sbasport) if cfg.sbas else None
+        self.hub = hub if hub is not None else OutputHub(cfg)
         self.loggers = {}
         if cfg.log:
             os.makedirs(cfg.logpath, exist_ok=True)
@@ -136,9 +218,24 @@ class Receiver:
                 self.loggers[ch.idx] = TrackLogger(
                     cfg.logpath, sid, cfg.track.corrn, cfg.track.corrd,
                     float(self.trk.crate[ch.idx]), spec.f_if)
-        self.epochs_written = 0
-        self.ephs_written = 0
         self.events = []
+
+    # hub delegation (external API stability) ---------------------------- #
+    @property
+    def epochs_written(self) -> int:
+        return self.hub.epochs_written
+
+    @property
+    def ephs_written(self) -> int:
+        return self.hub.ephs_written
+
+    @property
+    def obs_writer(self):
+        return self.hub.obs_writer
+
+    @property
+    def nav_writer(self):
+        return self.hub.nav_writer
 
     # ------------------------------------------------------------------ #
     def _try_acquire(self, block_np: np.ndarray) -> None:
@@ -184,7 +281,7 @@ class Receiver:
                 self.state = self.trk.set_bit_sync(self.state, i,
                                                    ch.nav.sync_offset)
                 ch.synced = True
-            if ch.cfg.ctype == CodeType.L1SBAS and self.sbas_srv:
+            if ch.cfg.ctype == CodeType.L1SBAS and self.hub.sbas_srv:
                 self._send_sbas(ch, evs)
             if i in self.loggers:
                 self.loggers[i].log_block(out, i, ch.nav, ch.hist,
@@ -218,7 +315,7 @@ class Receiver:
                     break
         if sb.week:
             gen_novatel_sbasmsg(sb)
-            self.sbas_srv.send(bytes(sb.novatelmsg))
+            self.hub.sbas_srv.send(bytes(sb.novatelmsg))
 
     def _check_lock(self, ch, out) -> None:
         """Loss-of-lock detection (absent in the reference — a channel
@@ -246,96 +343,42 @@ class Receiver:
             ch.peak_prompt = max(ch.peak_prompt, float(np.median(p)))
 
     # ------------------------------------------------------------------ #
-    def _emit_epochs(self) -> list[list[SdrObs]]:
-        # gate on a FULL history: interp1's neighborhood search assumes
-        # monotonic sample indices, so zero-filled young histories are
-        # unusable (the reference tolerates garbage early epochs instead)
+    def collect_obs_inputs(self) -> list[ChannelObsInput]:
+        """Aligner inputs for every channel ready to produce observables.
+        Gate on a FULL history: interp1's neighborhood search assumes
+        monotonic sample indices, so zero-filled young histories are
+        unusable (the reference tolerates garbage early epochs instead)."""
         ready = [ch for ch in self.channels
                  if ch.nav.flagdec and ch.nav.eph.week_gpst != 0
                  and ch.hist.full]
-        if not ready:
-            return []
-        inputs = [ChannelObsInput(
+        return [ChannelObsInput(
             hist=ch.hist, sys=ch.cfg.sys, prn=ch.nav.prn,
             week=ch.nav.eph.week_gpst, nsamp=self.nsamp,
             ctime=float(self.trk.ctime[ch.idx]), ti=self.trk.ti,
             firstsf=ch.nav.firstsf, firstsfcnt=ch.nav.firstsfcnt)
             for ch in ready]
-        newest = min(float(c.hist.tow[0]) for c in inputs)
-        lo = self._oldreftow if self._oldreftow > 0 else newest - 0.6
-        epochs = []
-        # integer epoch indices on the outms grid (float division would
-        # re-emit boundary epochs)
-        k = int(np.floor(lo * 1000.0 / self.outms_ms + 1e-6)) + 1
-        while k * self.outms_ms <= newest * 1000.0 + 1e-3:
-            t = k * self.outms_ms / 1000.0
-            obs = self.aligner._epoch_at(inputs, t)
-            if obs:
-                epochs.append(obs)
-                if self.obs_writer:
-                    self.obs_writer.write_epoch(obs)
-                if self.rtcm_srv:
-                    by_sys = {}
-                    for o in obs:
-                        by_sys.setdefault(o.sys, []).append(
-                            (o.prn, o.P, o.L, o.D, o.S))
-                    for sysid, lst in by_sys.items():
-                        self.rtcm_srv.send(encode_msm7(
-                            sysid, lst, obs[0].week, obs[0].tow))
-                self.epochs_written += 1
-            k += 1
-        self._oldreftow = newest
-        # nav records on ephemeris update (src/sdrsync.c:137-156)
-        for ch in self.channels:
-            eph = ch.nav.eph
-            if eph.update and eph.cnt >= eph.cntth:
-                eph.cnt = 0
-                eph.update = False
-                self.ephs_written += 1
-                if self.nav_writer:
-                    if ch.cfg.ctype == CodeType.G1:
-                        self.nav_writer.write_geph(ch.nav.prn, eph.geph)
-                    elif ch.cfg.ctype == CodeType.L1CA:
-                        self.nav_writer.write_eph(ch.cfg.sys, ch.cfg.prn,
-                                                 eph.eph)
-                if self.rtcm_srv:
-                    if ch.cfg.ctype == CodeType.G1:
-                        self.rtcm_srv.send(encode_1020(ch.nav.prn,
-                                                       eph.geph))
-                    elif ch.cfg.ctype == CodeType.L1CA and \
-                            ch.cfg.sys == SYS_QZS:
-                        self.rtcm_srv.send(encode_1044(ch.cfg.prn,
-                                                       eph.eph))
-                    elif ch.cfg.ctype == CodeType.L1CA and \
-                            ch.cfg.sys == SYS_GPS:
-                        self.rtcm_srv.send(encode_1019(ch.cfg.prn,
-                                                       eph.eph))
+
+    def _emit_epochs(self) -> list[list[SdrObs]]:
+        epochs = (self.hub.emit_epochs(self.collect_obs_inputs())
+                  if self.standalone else [])
+        self.hub.emit_nav(self.channels)
         return epochs
 
     # ------------------------------------------------------------------ #
-    def save_checkpoint(self, path: str) -> None:
-        """Snapshot the full receiver state: absolute sample index, the
-        device tracking pytree, and each channel's nav/observable state —
-        the resume story SURVEY.md §5 specifies (the reference has none)."""
-        import pickle
+    def _snapshot(self) -> dict:
         st = {f: np.asarray(getattr(self.state, f))
               for f in self.state.__dataclass_fields__}
-        with open(path, "wb") as f:
-            pickle.dump(dict(
-                base=self.base, oldreftow=self._oldreftow,
-                state=st,
-                channels=[(ch.locked, ch.synced, ch.last_acq_attempt,
-                           ch.cn0, ch.peak_prompt, ch.nav, ch.hist)
-                          for ch in self.channels],
-                epochs=self.epochs_written, ephs=self.ephs_written), f)
+        return dict(
+            base=self.base, oldreftow=self.hub._oldreftow,
+            state=st,
+            channels=[(ch.locked, ch.synced, ch.last_acq_attempt,
+                       ch.cn0, ch.peak_prompt, ch.nav, ch.hist)
+                      for ch in self.channels],
+            epochs=self.epochs_written, ephs=self.ephs_written)
 
-    def load_checkpoint(self, path: str) -> None:
-        """Restore a snapshot produced by save_checkpoint (same config)."""
-        import pickle
-        with open(path, "rb") as f:
-            d = pickle.load(f)
+    def _restore(self, d: dict) -> None:
         self.base = d["base"]
-        self._oldreftow = d["oldreftow"]
+        self.hub._oldreftow = d["oldreftow"]
         self.state = dataclasses.replace(
             self.state, **{k: jnp.asarray(v) for k, v in d["state"].items()})
         for ch, (locked, synced, laa, cn0, pk, nav, hist) in zip(
@@ -343,42 +386,57 @@ class Receiver:
             ch.locked, ch.synced = locked, synced
             ch.last_acq_attempt, ch.cn0, ch.peak_prompt = laa, cn0, pk
             ch.nav, ch.hist = nav, hist
-        self.epochs_written = d["epochs"]
-        self.ephs_written = d["ephs"]
+        self.hub.epochs_written = d["epochs"]
+        self.hub.ephs_written = d["ephs"]
 
-    def run_seconds(self, seconds: float | None = None,
-                    progress=None) -> dict:
-        """Process the stream (whole file by default).  Returns summary
-        statistics.  ``progress``: optional callable(t_stream_seconds)."""
-        t_start = time.time()
-        advance = self.nsteps * self.nsamp
-        end_sample = self.frontend.nsamples
+    def save_checkpoint(self, path: str) -> None:
+        """Snapshot the full receiver state: absolute sample index, the
+        device tracking pytree, and each channel's nav/observable state —
+        the resume story SURVEY.md §5 specifies (the reference has none)."""
+        import pickle
+        with open(path, "wb") as f:
+            pickle.dump(self._snapshot(), f)
+
+    def load_checkpoint(self, path: str) -> None:
+        """Restore a snapshot produced by save_checkpoint (same config)."""
+        import pickle
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        self._restore(d)
+
+    def end_sample(self, seconds: float | None = None) -> int:
+        end = self.frontend.nsamples
         if seconds is not None:
-            end_sample = min(end_sample,
-                             int(seconds * self.spec.f_sf))
-        nblocks = 0
-        while self.base + self.block_len <= end_sample:
-            block_np = self.frontend.read(self.base, self.block_len)
-            self._try_acquire(block_np)
-            if not any(ch.locked for ch in self.channels):
-                self.base += advance
-                nblocks += 1
-                continue
-            cnt0 = np.asarray(self.state.cnt)
-            block = jnp.asarray(block_np)
-            use_fast = (self.fast is not None
-                        and self.nsteps % self.fast.L == 0
-                        and all(ch.synced for ch in self.channels
-                                if ch.locked))
-            eng = self.fast if use_fast else self.trk
-            self.state, out = eng.run_block(self.state, block, self.nsteps)
-            self._feed_nav_and_obs(out, cnt0)
-            self._emit_epochs()
-            self.state = self.trk.rebase(self.state, advance)
+            end = min(end, int(seconds * self.spec.f_sf))
+        return end
+
+    def can_step(self, end_sample: int) -> bool:
+        return self.base + self.block_len <= end_sample
+
+    def step_block(self) -> None:
+        """Process one block: acquire, track, nav, observable history —
+        and, when standalone, emit epochs.  Advances the stream cursor by
+        ``nsteps`` code periods."""
+        advance = self.nsteps * self.nsamp
+        block_np = self.frontend.read(self.base, self.block_len)
+        self._try_acquire(block_np)
+        if not any(ch.locked for ch in self.channels):
             self.base += advance
-            nblocks += 1
-            if progress:
-                progress(self.base / self.spec.f_sf)
+            return
+        cnt0 = np.asarray(self.state.cnt)
+        block = jnp.asarray(block_np)
+        use_fast = (self.fast is not None
+                    and self.nsteps % self.fast.L == 0
+                    and all(ch.synced for ch in self.channels
+                            if ch.locked))
+        eng = self.fast if use_fast else self.trk
+        self.state, out = eng.run_block(self.state, block, self.nsteps)
+        self._feed_nav_and_obs(out, cnt0)
+        self._emit_epochs()
+        self.state = self.trk.rebase(self.state, advance)
+        self.base += advance
+
+    def _summary(self, t_start: float, nblocks: int) -> dict:
         wall = time.time() - t_start
         return dict(
             samples=self.base, seconds=self.base / self.spec.f_sf,
@@ -387,4 +445,120 @@ class Receiver:
             locked=[ch.cfg.prn for ch in self.channels if ch.locked],
             decoded=[ch.cfg.prn for ch in self.channels if ch.nav.flagdec],
             epochs=self.epochs_written, ephs=self.ephs_written,
+        )
+
+    def run_seconds(self, seconds: float | None = None,
+                    progress=None) -> dict:
+        """Process the stream (whole file by default).  Returns summary
+        statistics.  ``progress``: optional callable(t_stream_seconds)."""
+        t_start = time.time()
+        end_sample = self.end_sample(seconds)
+        nblocks = 0
+        while self.can_step(end_sample):
+            self.step_block()
+            nblocks += 1
+            if progress:
+                progress(self.base / self.spec.f_sf)
+        return self._summary(t_start, nblocks)
+
+
+class DualReceiver:
+    """Both RF paths of a dual front end in one run (STEREO FE1+FE2, e.g.
+    L1CA + GLONASS G1 — reference sdrmain.c starts channel threads across
+    both paths and one sync thread merges them).
+
+    The two per-path receivers share one :class:`OutputHub`, so common
+    epochs combine channels from both paths: the paths are sample-
+    synchronous (one capture clock; for packed STEREO both live in the
+    same byte stream), and the epoch aligner anchors in receiver time
+    rather than raw sample counts, so differing per-path sample rates
+    are handled.
+
+    Blocks are stepped in lockstep — the per-path ``nsteps`` are scaled
+    so each block spans the same stream time on both paths.
+    """
+
+    def __init__(self, cfg: ReceiverConfig, frontends: list,
+                 nsteps_per_block: int = 400):
+        self.cfg = cfg
+        self.hub = OutputHub(cfg)
+        ftypes = sorted({c.ftype for c in cfg.channels})
+        if len(ftypes) < 2:
+            raise ValueError("DualReceiver needs channels on two FTYPEs")
+        self.rx = [Receiver(cfg, fe, ftype=ft,
+                            nsteps_per_block=nsteps_per_block,
+                            hub=self.hub, standalone=False)
+                   for ft, fe in zip(ftypes, frontends)]
+        t0 = self.rx[0].nsteps * self.rx[0].nsamp / self.rx[0].spec.f_sf
+        for r in self.rx[1:]:
+            t = r.nsteps * r.nsamp / r.spec.f_sf
+            if abs(t - t0) > 1e-12:
+                raise ValueError("front-end block durations differ "
+                                 f"({t0} vs {t}); use code periods with "
+                                 "equal duration across paths")
+
+    @property
+    def epochs_written(self) -> int:
+        return self.hub.epochs_written
+
+    @property
+    def ephs_written(self) -> int:
+        return self.hub.ephs_written
+
+    @property
+    def obs_writer(self):
+        return self.hub.obs_writer
+
+    @property
+    def nav_writer(self):
+        return self.hub.nav_writer
+
+    @property
+    def events(self):
+        ev = [e for r in self.rx for e in r.events]
+        ev.sort(key=lambda e: e[1])
+        return ev
+
+    @property
+    def channels(self):
+        return [ch for r in self.rx for ch in r.channels]
+
+    def save_checkpoint(self, path: str) -> None:
+        import pickle
+        with open(path, "wb") as f:
+            pickle.dump([r._snapshot() for r in self.rx], f)
+
+    def load_checkpoint(self, path: str) -> None:
+        import pickle
+        with open(path, "rb") as f:
+            snaps = pickle.load(f)
+        for r, d in zip(self.rx, snaps):
+            r._restore(d)
+
+    def run_seconds(self, seconds: float | None = None,
+                    progress=None) -> dict:
+        t_start = time.time()
+        ends = [r.end_sample(seconds) for r in self.rx]
+        nblocks = 0
+        while all(r.can_step(e) for r, e in zip(self.rx, ends)):
+            for r in self.rx:
+                r.step_block()
+            # merge both paths' ready channels into one epoch stream
+            self.hub.emit_epochs(
+                [ci for r in self.rx for ci in r.collect_obs_inputs()])
+            nblocks += 1
+            if progress:
+                progress(self.rx[0].base / self.rx[0].spec.f_sf)
+        wall = time.time() - t_start
+        samples = sum(r.base for r in self.rx)
+        return dict(
+            samples=samples,
+            seconds=self.rx[0].base / self.rx[0].spec.f_sf,
+            wall=wall, msps=samples / 1e6 / max(wall, 1e-9),
+            blocks=nblocks,
+            locked=[ch.cfg.prn for r in self.rx for ch in r.channels
+                    if ch.locked],
+            decoded=[ch.cfg.prn for r in self.rx for ch in r.channels
+                     if ch.nav.flagdec],
+            epochs=self.hub.epochs_written, ephs=self.hub.ephs_written,
         )

@@ -107,6 +107,29 @@ def write_if_file(path: str, x: np.ndarray, scale: float = 16.0) -> None:
     quantize_int8(x, scale).ravel().tofile(path)
 
 
+def pack_stereo(fe1: np.ndarray, fe2: np.ndarray, scale1: float = 1.0,
+                scale2: float = 1.0) -> np.ndarray:
+    """Pack sample-synchronous FE1 (real) + FE2 (I/Q) streams into NSL
+    STEREO bytes — the inverse of io.formats.unpack_stereo_fe1/fe2
+    (capture packing, rcv/stereo/stereo.c:184-205): FE1 2-bit sign/mag in
+    bits 7-6 (levels -3,-1,1,3), FE2 two 3-bit I/Q fields in bits 5-0
+    (levels ±1..±7).  Returns a uint8 array, one byte per sample."""
+    fe1 = np.asarray(fe1, np.float64) * scale1
+    fe2 = np.asarray(fe2, np.float64) * scale2
+    if fe1.shape[0] != fe2.shape[0]:
+        raise ValueError("FE1/FE2 sample counts differ (shared clock)")
+    c1 = np.clip(np.floor((fe1 + 4.0) / 2.0), 0, 3).astype(np.uint8)
+
+    def _code3(v):
+        lev = np.clip(2.0 * np.floor(v / 2.0) + 1.0, -7, 7).astype(np.int64)
+        return np.where(lev > 0, (lev - 1) // 2,
+                        (lev + 7) // 2 + 4).astype(np.uint8)
+
+    ci = _code3(fe2[:, 0])
+    cq = _code3(fe2[:, 1])
+    return ((c1 << 6) | (ci << 3) | cq).astype(np.uint8)
+
+
 def example_eph(prn: int = 1, week: int = 2200, toe_tow: float = 352800.0):
     """A plausible GPS ephemeris for round-trip tests (values on LNAV scale
     grids so encode->decode is exact)."""
