@@ -145,6 +145,10 @@ def load_ini(path: str) -> ReceiverConfig:
         corrp = _geti(fc, "TRACK", "CORRP", 6)
         track = TrackConfig(
             corrn=corrn, corrd=corrd, corrp=corrp,
+            # extension knob (absent in the reference): linear-interpolated
+            # replica rows for ~2 samples/chip front-ends (see
+            # track/state.py TrackConfig.interp_replica)
+            interp_replica=bool(_geti(fc, "TRACK", "INTERPREPLICA", 0)),
             prm1=LoopParams.from_bandwidths(
                 _getf(fc, "TRACK", "DLLB1", 5.0),
                 _getf(fc, "TRACK", "PLLB1", 30.0),

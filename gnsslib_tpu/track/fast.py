@@ -136,16 +136,34 @@ class FastTracker:
         rem_k = frac(st["remcarr"] + fc["base_adv_k"][:L] + base_e
                      + frac(w * ki) + st["dcps"] * e_k.astype(jnp.float32))
 
-        # windows + replica rows
+        # windows
         win = jax.vmap(lambda s0: jax.lax.dynamic_slice_in_dim(
             block, s0, self.nwin))(wstart)                      # (L, nwin[,2])
-        q1h = jax.nn.one_hot(q_idx, self.trk._tbl_q, dtype=jnp.float32)
-        rows = jnp.einsum("lq,qw->lw", q1h, cc["table"].astype(jnp.float32),
-                          preferred_element_type=jnp.float32)
-        m0 = self.trk._tbl_m0
-        rc = rows[:, m0:m0 + self.next]
         return dict(d=d, n_k=n_k, remcode_k=remcode_k, rem_k=rem_k,
-                    win=win, rc=rc)
+                    win=win, q_idx=q_idx)
+
+    def _replica_rows(self, consts, q_idx):
+        """(C, L) quantized-phase indices -> (C*L, next) replica rows.
+
+        One flat row gather over the (C*Q, W) table.  This replaced a
+        one-hot matmul row select, which forced XLA to stream the WHOLE
+        table (~0.5 GB for 32ch x 1024 phases) from HBM every super-step
+        — measured 3.3 ms/step vs 0.74 ms with the gather.  A large
+        contiguous-row gather lowers fine on TPU; the pathological cases
+        are many small vmapped dynamic indices.[1]
+
+        [1] measured on v5e: one-hot 3.28 ms/step, take 0.74, fused
+            correlator alone 0.67; a Pallas scalar-prefetch row DMA was
+            7.6 ms/step (per-row DMAs dispatch serially)."""
+        C, L = self.C, self.L
+        Q = self.trk._tbl_q
+        W = consts["table"].shape[-1]
+        row_idx = (jnp.arange(C, dtype=jnp.int32)[:, None] * Q
+                   + q_idx).reshape(C * L)
+        rows = jnp.take(consts["table"].reshape(C * Q, W), row_idx,
+                        axis=0).astype(jnp.float32)
+        m0 = self.trk._tbl_m0
+        return rows[:, m0:m0 + self.next]                # (C*L, next)
 
     def _taps_xla(self, cc, geo, st):
         """Batched-einsum tap computation (per channel, vmapped)."""
@@ -168,6 +186,7 @@ class FastTracker:
              for o in np.asarray(self.offsets)], axis=1)        # (L,t,nwin)
         z = jnp.einsum("ltn,lnr->ltr", reps, iq,
                        preferred_element_type=jnp.float32)      # (L,t,2)
+        z = z * jnp.float32(self.trk._tbl_scale)
         # reference I/Q mapping (see loop.py): cur_q=real, cur_i=imag
         return z[..., 1], z[..., 0]
 
@@ -284,6 +303,7 @@ class FastTracker:
         def step(st, _):
             geo = jax.vmap(functools.partial(self._geo_only, block)
                            )(consts, fconsts, st)
+            rc = self._replica_rows(consts, geo["q_idx"])    # (C*L, next)
             if self.use_pallas:
                 # flat (C*L) batch through the fused VMEM kernel
                 # (8 windows per grid cell; pad to a multiple of 8)
@@ -302,17 +322,22 @@ class FastTracker:
                             [a, jnp.full((pad,) + a.shape[1:], fill,
                                          a.dtype)], axis=0)
                     return a
+                rc8 = jnp.concatenate(
+                    [rc, jnp.zeros((pad, rc.shape[1]), rc.dtype)],
+                    axis=0) if pad else rc
                 z2 = correlate_windows8_impl(
-                    flat(win), flat(geo["rc"]),
+                    flat(win), rc8,
                     flat(geo["rem_k"].reshape(C, L, 1))[:, 0],
                     flat(ftot.reshape(C, L, 1))[:, 0],
                     flat(geo["n_k"].reshape(C, L, 1))[:, 0],
                     offsets, self.smax,
                     interpret=self._pallas_interpret)[:B]
+                z2 = z2 * jnp.float32(self.trk._tbl_scale)
                 z2 = z2.reshape(C, L, -1)
                 cur_q = z2[..., 0::2]
                 cur_i = z2[..., 1::2]
             else:
+                geo["rc"] = rc.reshape(self.C, self.L, self.next)
                 cur_i, cur_q = jax.vmap(self._taps_xla)(consts, geo, st)
 
             def one(cc, fcc, stc, geoc, ci_, cq_):

@@ -153,9 +153,19 @@ class Tracker:
             for c in range(C):
                 fq = (np.arange(self._tbl_q, dtype=np.float64)
                       * ci0[c] / self._tbl_q)
-                idx = np.floor(fq[:, None] + ci0[c] * j[None, :]).astype(
-                    np.int64)
-                tbl[c] = code_mat[c][np.mod(idx, clens[c])]
+                pos = fq[:, None] + ci0[c] * j[None, :]
+                idx = np.floor(pos).astype(np.int64)
+                if cfg.interp_replica:
+                    # linear interpolation across chip transitions kills
+                    # the nearest-neighbour S-curve bias (state.py note);
+                    # int8 at x127 keeps the table byte-sized
+                    f = pos - np.floor(pos)
+                    v = ((1.0 - f) * code_mat[c][np.mod(idx, clens[c])]
+                         + f * code_mat[c][np.mod(idx + 1, clens[c])])
+                    tbl[c] = np.round(127.0 * v).astype(np.int8)
+                else:
+                    tbl[c] = code_mat[c][np.mod(idx, clens[c])]
+            self._tbl_scale = (1.0 / 127.0) if cfg.interp_replica else 1.0
             self._consts["table"] = jnp.asarray(tbl)
             self._consts["clen"] = jnp.asarray(np.asarray(clens, np.int32))
 
@@ -246,17 +256,21 @@ class Tracker:
             q_idx = jnp.round((s - m) * self._tbl_q).astype(jnp.int32)
             m = m.astype(jnp.int32) + q_idx // self._tbl_q
             q_idx = q_idx % self._tbl_q
-            # row select as a one-hot matmul: dynamic_index under vmap
-            # lowers to a gather, which the TPU compiler handles terribly
-            # (100s+ compiles); a (Q,)x(Q,W) contraction is MXU-native
-            row = jnp.einsum(
-                "q,qw->w", jax.nn.one_hot(q_idx, self._tbl_q,
-                                          dtype=jnp.float32),
-                cc["table"].astype(jnp.float32),
-                preferred_element_type=jnp.float32)
+            # row select: a whole-row take (gather of one contiguous
+            # 16 kB row).  This was a one-hot matmul first — "gathers are
+            # pathological on TPU" — but that lore only covers many small
+            # vmapped dynamic indices; a large contiguous-row gather
+            # compiles and runs fine, and the matmul made XLA stream the
+            # ENTIRE (Q, W) table from HBM every period (the dominant
+            # cost of this step: measured 3.3 -> 0.74 ms/step in the
+            # fast path for the same pattern)
+            row = jnp.take(cc["table"], q_idx, axis=0
+                           ).astype(jnp.float32)
             rcode = jax.lax.dynamic_slice_in_dim(row, m + self._tbl_m0,
                                                  self.next)
         z = corr_ops.correlate_taps(mixed, rcode, self.offsets, self.smax, n)
+        if self.cfg.resample == "table" and self._tbl_scale != 1.0:
+            z = z * self._tbl_scale
         # reference I/Q mapping: trk.II=sin channel, trk.QQ=cos channel
         cur_i = z.imag
         cur_q = z.real

@@ -71,6 +71,15 @@ class TrackConfig:
     # over (src/sdrmain.c:277-279); resetting to the carrier-aided rate is
     # a strictly safer start.  Disable for bit-faithful dynamics.
     reset_nco_on_sync: bool = True
+    # linearly interpolated replica rows (table mode only): cuts the
+    # nearest-neighbour resampler's S-curve ripple ~2.4x at ~2 samples/
+    # chip front-ends (RTL-SDR 2.048 Msps) when the signal is BAND-
+    # LIMITED (any real analog front end) — the reference's rescode
+    # (sdrcmn.c:608-631) has the same bias.  Against an ideal hard-
+    # sampled signal it does not help (the signal carries the sampling
+    # bias), hence opt-in.  Rows are stored as int8 code*127; tap sums
+    # are rescaled by 1/127 on the way out.
+    interp_replica: bool = False
 
     @property
     def ntaps(self) -> int:

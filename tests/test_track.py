@@ -186,3 +186,46 @@ def test_l1c_pilot_tracking():
     ip = out.ip[-20:, 0]
     qp = out.qp[-20:, 0]
     assert np.mean(np.abs(ip)) > 6 * np.mean(np.abs(qp))
+
+
+def test_interp_replica_reduces_scurve_ripple():
+    """At ~2 samples/chip (RTL-SDR 2.048 Msps) the nearest-neighbour
+    replica's S-curve bias ripples the noiseless DLL as chip edges
+    precess through the sample grid — the reference's rescode
+    (sdrcmn.c:608-631) has the same bias.  interp_replica (linear-
+    interpolated table rows) cuts the ripple ~2.4x against a BAND-
+    LIMITED signal (any real analog front end); against an ideal
+    hard-sampled signal it does not help (the signal itself then
+    carries the sampling bias), which is why it stays opt-in."""
+    from gnsslib_tpu.codes import gencode
+    f_sf = 2.048e6
+    OS, N, dopp = 8, 1200, -2500.0
+    code, crate = gencode(5, CodeType.L1CA)
+    crate_rx = crate * (1.0 - dopp / 1575.42e6)
+
+    def make_signal(nsamp):
+        fs_hi = OS * f_sf
+        n_hi = nsamp * OS
+        t = np.arange(n_hi, dtype=np.float64) / fs_hi
+        chips = 0.13 + crate_rx * t
+        c = code[np.mod(np.floor(chips).astype(np.int64), 1023)].astype(float)
+        C = np.fft.rfft(c)
+        fr = np.fft.rfftfreq(n_hi, 1.0 / fs_hi)
+        C[fr > 1.2e6] = 0.0                    # 2.4 MHz front-end BW
+        sd = (np.fft.irfft(C, n_hi) * np.exp(2j * np.pi * dopp * t))[::OS]
+        return np.stack([sd.real, sd.imag], -1).astype(np.float32)
+
+    def run(interp):
+        cfg = TrackConfig(corrn=4, corrd=1, corrp=1, interp_replica=interp)
+        trk = Tracker(cfg, [5], [CodeType.L1CA], f_sf, 0.0, DType.IQ)
+        x = make_signal((N + 2) * trk.n_nom + trk.nwin + 256)
+        st = trk.init_state()
+        st = trk.start_channels(st, [0], [0], [dopp])
+        st, out = trk.run_block(st, jnp.asarray(x), N)
+        return np.asarray(out.code_err[500:, 0])
+
+    ce_near = run(False)
+    ce_interp = run(True)
+    # measured: 0.163 -> 0.067 rms ripple; dcode jitter 2.25 -> 0.92 Hz
+    assert ce_interp.std() < 0.10
+    assert ce_interp.std() < ce_near.std() / 1.8
