@@ -65,6 +65,17 @@ def unpack_gn3s_v2(raw: np.ndarray) -> np.ndarray:
     return out.reshape(-1, 2)
 
 
+def unpack_gn3s_v2_aligned(raw: np.ndarray) -> np.ndarray:
+    """GN3S v2 payload with the packet shift already resolved (the file
+    front-end detects the shift ONCE at stream start and offsets reads by
+    one byte): plain per-byte sign decode, I/Q interleaved.  Using the
+    per-read detection of unpack_gn3s_v2 on arbitrary block boundaries
+    would re-interpret bit 1 of whatever byte the read happens to start
+    on and zero/shift samples at every seam."""
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    return _LUT_1BIT[buf & 0x01].reshape(-1, 2)
+
+
 def unpack_gn3s_v3_2bit(raw: np.ndarray) -> np.ndarray:
     """GN3S v3 2-bit sign/magnitude real samples."""
     buf = np.frombuffer(raw, dtype=np.uint8)

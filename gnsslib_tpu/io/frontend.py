@@ -61,7 +61,7 @@ def _unpack(spec: FrontendSpec, raw: bytes) -> np.ndarray:
     if f in (FrontendType.RTLSDR, FrontendType.FRTLSDR):
         return formats.unpack_rtlsdr(raw)
     if f in (FrontendType.GN3SV2, FrontendType.FGN3SV2):
-        return formats.unpack_gn3s_v2(raw)
+        return formats.unpack_gn3s_v2_aligned(raw)
     if f in (FrontendType.GN3SV3, FrontendType.FGN3SV3):
         if spec.dtype == DType.IQ:
             return formats.unpack_gn3s_v3_4bit(raw)
@@ -88,7 +88,16 @@ class FileFrontend:
         self.bps = _bytes_per_sample(spec)
         self._fp = open(path, "rb")
         self.nbytes = os.fstat(self._fp.fileno()).st_size
-        self.nsamples = self.nbytes // self.bps
+        self._byte0 = 0
+        if spec.fend in (FrontendType.GN3SV2, FrontendType.FGN3SV2):
+            # v2 packet-shift realignment (gn3s.cpp:95-109) resolved ONCE
+            # at stream start: a global one-byte offset keeps arbitrary
+            # block reads seam-free (per-read detection would reinterpret
+            # bit 1 of whatever byte a read lands on)
+            head = self._fp.read(1)
+            if head and (head[0] & 0x02) != 2:
+                self._byte0 = 1
+        self.nsamples = (self.nbytes - self._byte0) // self.bps
 
     def close(self) -> None:
         self._fp.close()
@@ -105,7 +114,7 @@ class FileFrontend:
         driver checks ``eof_at`` to stop cleanly)."""
         if start < 0:
             raise ValueError("negative sample index")
-        self._fp.seek(start * self.bps)
+        self._fp.seek(self._byte0 + start * self.bps)
         raw = self._fp.read(n * self.bps)
         got = len(raw) // self.bps
         x = _unpack(self.spec, raw[:got * self.bps])

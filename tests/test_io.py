@@ -133,3 +133,39 @@ def test_stream_frontend_follows_growing_file(tmp_path):
     assert np.array_equal(x, np.arange(8, 48))
     assert fe.nsamples == 64
     fe.close()
+
+
+def test_gn3s_v2_seam_free_reads(tmp_path):
+    """Arbitrary block boundaries through FileFrontend must reproduce the
+    whole-stream decode exactly — the v2 packet shift (gn3s.cpp:95-109)
+    is resolved once at stream start, not per read."""
+    rng = np.random.default_rng(11)
+    n = 4096
+    for shifted in (False, True):
+        signs = rng.integers(0, 2, n).astype(np.uint8)
+        data = signs | 0x02                        # bit1 set on payload
+        if shifted:
+            # stream starts with a bit1-clear byte: payload offset by one
+            data = np.concatenate([np.array([0x00], np.uint8), data[:-1]])
+        path = tmp_path / f"v2_{shifted}.bin"
+        data.tofile(path)
+        spec = FrontendSpec(fend=FrontendType.GN3SV2, f_cf=1575.42e6,
+                            f_sf=8.1838e6, f_if=38400.0, dtype=DType.IQ)
+        with FileFrontend(str(path), spec) as fe:
+            whole = fe.read(0, fe.nsamples)
+            # chunked reads at odd seams
+            parts = []
+            pos = 0
+            for step in (7, 33, 100, 501, 10**9):
+                m = min(step, fe.nsamples - pos)
+                if m <= 0:
+                    break
+                parts.append(fe.read(pos, m))
+                pos += m
+            chunked = np.concatenate(parts, axis=0)
+        assert np.array_equal(whole, chunked), f"shifted={shifted}"
+        # payload decodes to the sign LUT, independent of the shift
+        exp = np.array([1, -1], np.float32)[
+            (signs if not shifted else signs[:-1]) & 1]
+        assert np.array_equal(whole.ravel()[:len(exp) - 4],
+                              exp[:len(exp) - 4])
