@@ -419,7 +419,34 @@ class Tracker:
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def _run(self, carry, block, consts, nsteps: int):
-        return self.run_steps(carry, block, consts, nsteps)
+        carry, o = self.run_steps(carry, block, consts, nsteps)
+        # pack telemetry into ONE f32 + ONE i32 array (same scheme as
+        # FastTracker._run): each device_get leaf is a round trip on the
+        # relay backend, and 15 small fetches per block dwarf the payload.
+        # loc stays i32 — block offsets exceed f32's 2^24 exact range.
+        col = lambda a: a[..., None]
+        packf = jnp.concatenate(
+            [col(o["ip"]), col(o["qp"]), o["sum_i"], o["sum_q"],
+             col(o["remcode"]), col(o["remcarr"]), col(o["dcarr"]),
+             col(o["dcode"]), col(o["carr_err"]), col(o["code_err"]),
+             col(o["carr_nco"]), col(o["code_nco"])], axis=-1)
+        packi = jnp.concatenate(
+            [col(o["loc"]), col(o["n"]), col(o["flagloopfilter"])], axis=-1)
+        return carry, packf, packi
+
+    def _unpack_outs(self, packf, packi):
+        taps = self.cfg.ntaps
+        names = ("ip", "qp", "sum_i", "sum_q", "remcode", "remcarr",
+                 "dcarr", "dcode", "carr_err", "code_err", "carr_nco",
+                 "code_nco")
+        widths = (1, 1, taps, taps, 1, 1, 1, 1, 1, 1, 1, 1)
+        o, pos = {}, 0
+        for name, w in zip(names, widths):
+            o[name] = packf[..., pos] if w == 1 else packf[..., pos:pos + w]
+            pos += w
+        o["loc"], o["n"], o["flagloopfilter"] = (
+            packi[..., 0], packi[..., 1], packi[..., 2])
+        return o
 
     def run_block(self, state: TrackState, block, nsteps: int
                   ) -> tuple[TrackState, TrackOutputs]:
@@ -436,9 +463,10 @@ class Tracker:
             block = jnp.asarray(np.stack([b.real, b.imag], axis=-1)
                                 .astype(np.float32))
         carry = self._state_to_dict(state)
-        carry, outs = self._run(carry, block, self._consts, int(nsteps))
+        carry, packf, packi = self._run(carry, block, self._consts,
+                                        int(nsteps))
         new_state = self._dict_to_state(carry, state)
-        outs = jax.device_get(outs)      # ONE host transfer for all fields
+        outs = self._unpack_outs(*jax.device_get((packf, packi)))
         return new_state, TrackOutputs(**outs)
 
     def rebase(self, state: TrackState, advance: int) -> TrackState:
