@@ -72,6 +72,7 @@ class SdrObs:
     L: float       # carrier phase (cycles)
     D: float       # Doppler (Hz)
     S: float       # SNR (dB-Hz)
+    fcn: int = 0   # GLONASS frequency channel number (0 otherwise)
 
 
 @dataclasses.dataclass
@@ -86,6 +87,7 @@ class ChannelObsInput:
     ti: float           # 1 / f_sf
     firstsf: int        # abs sample index at preamble (nav.firstsf)
     firstsfcnt: int
+    fcn: int = 0        # GLONASS FDMA channel number (cfg.prn for G1)
 
 
 class EpochAligner:
@@ -149,5 +151,6 @@ class EpochAligner:
             D = interp1(codeid, c.hist.D, trefd)
             out.append(SdrObs(sys=c.sys, prn=c.prn, week=c.week,
                               tow=reftow + PTIMING / 1000.0,
-                              P=P, L=L, D=D, S=float(c.hist.S[0])))
+                              P=P, L=L, D=D, S=float(c.hist.S[0]),
+                              fcn=c.fcn))
         return out

@@ -209,13 +209,16 @@ def encode_1020(prn: int, geph: Geph) -> bytes:
 
 # --- MSM7 (rtcm3e.c:1817-2310; single L1 C/A signal) --------------------------
 
-_MSM_TYPE = {SYS_GPS: 1077, SYS_GLO: 1087, SYS_QZS: 1117, SYS_SBS: 1127}
+_MSM_TYPE = {SYS_GPS: 1077, SYS_GLO: 1087, SYS_QZS: 1117, SYS_SBS: 1107}
 _SIG_ID = 2   # "1C" for GPS/GLO/SBAS/QZS in the RTCM signal tables
 
 
-def _wavelength(sys: int, prn: int) -> float:
+def _wavelength(sys: int, fcn: int) -> float:
+    """L1 wavelength; for GLONASS ``fcn`` is the FDMA frequency channel
+    number (-7..+6) — NOT the slot number (RTKLIB satwavelen uses
+    nav->geph[].frq the same way, rtkcmn.c)."""
     if sys == SYS_GLO:
-        return CLIGHT / (FREQ1_GLO + prn * DFRQ1_GLO)
+        return CLIGHT / (FREQ1_GLO + fcn * DFRQ1_GLO)
     return CLIGHT / FREQ1
 
 
@@ -235,7 +238,9 @@ def encode_msm7(sys: int, obs_list, week: int, tow: float, staid: int = 0,
                 lock_s: float = 100.0, sync: int = 0) -> bytes:
     """One MSM7 message for satellites of one system at one epoch.
 
-    ``obs_list``: [(prn, P, L_cycles, D_hz, S_dbhz), ...].
+    ``obs_list``: [(prn, P, L_cycles, D_hz, S_dbhz[, fcn]), ...] — the
+    optional 6th element is the GLONASS frequency channel number used for
+    the cycles<->metres conversion (defaults to 0, the center channel).
     """
     b = bytearray(300)
     i = 0
@@ -252,6 +257,8 @@ def encode_msm7(sys: int, obs_list, week: int, tow: float, staid: int = 0,
 
     sats = sorted(obs_list, key=lambda o: o[0])
     nsat = len(sats)
+    lam = {o[0]: _wavelength(sys, o[5] if len(o) > 5 else 0)
+           for o in sats}
     # header (rtcm3e.c:1854-1877)
     u(12, _MSM_TYPE[sys])
     u(12, staid)
@@ -282,11 +289,13 @@ def encode_msm7(sys: int, obs_list, week: int, tow: float, staid: int = 0,
 
     # satellite data (int ms, ext info, mod 1/1024 ms, rough rate)
     rr = [o[1] for o in sats]                       # rough range = P
-    rrate = [-o[3] * _wavelength(sys, o[0]) for o in sats]  # m/s
+    rrate = [-o[3] * lam[o[0]] for o in sats]       # m/s
     for r in rr:
         u(8, 255 if r == 0 else _round(r / RANGE_MS / P2(10)) >> 10)
-    for _ in sats:
-        u(4, 0)
+    for o in sats:
+        # extended satellite info: GLONASS carries fcn+7 (0..13) here —
+        # the decoder derives the wavelength from it (rtcm3.c:1716-1720)
+        u(4, (o[5] if len(o) > 5 else 0) + 7 if sys == SYS_GLO else 0)
     for r in rr:
         u(10, _round(r / RANGE_MS / P2(10)) & 0x3FF)
     for v in rrate:
@@ -299,8 +308,7 @@ def encode_msm7(sys: int, obs_list, week: int, tow: float, staid: int = 0,
         s(20, _round((o[1] - rough) / RANGE_MS / P2(29)))
     for o in sats:
         rough = _round(o[1] / RANGE_MS / P2(10)) * P2(10) * RANGE_MS
-        lam = _wavelength(sys, o[0])
-        phr = o[2] * lam - rough
+        phr = o[2] * lam[o[0]] - rough
         s(24, -(1 << 23) if abs(phr) > 1171.0 else
           _round(phr / RANGE_MS / P2(31)))
     for _ in sats:
@@ -310,7 +318,7 @@ def encode_msm7(sys: int, obs_list, week: int, tow: float, staid: int = 0,
     for o in sats:
         u(10, _round(o[4] / 0.0625))
     for o in sats:
-        rough = _round(-o[3] * _wavelength(sys, o[0]))
-        fine = -o[3] * _wavelength(sys, o[0]) - rough
+        rough = _round(-o[3] * lam[o[0]])
+        fine = -o[3] * lam[o[0]] - rough
         s(15, _round(fine / 0.0001))
     return frame_rtcm3(b, i)

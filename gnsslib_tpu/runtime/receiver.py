@@ -111,7 +111,7 @@ class OutputHub:
                     by_sys = {}
                     for o in obs:
                         by_sys.setdefault(o.sys, []).append(
-                            (o.prn, o.P, o.L, o.D, o.S))
+                            (o.prn, o.P, o.L, o.D, o.S, o.fcn))
                     for sysid, lst in by_sys.items():
                         self.rtcm_srv.send(encode_msm7(
                             sysid, lst, obs[0].week, obs[0].tow))
@@ -355,7 +355,8 @@ class Receiver:
             hist=ch.hist, sys=ch.cfg.sys, prn=ch.nav.prn,
             week=ch.nav.eph.week_gpst, nsamp=self.nsamp,
             ctime=float(self.trk.ctime[ch.idx]), ti=self.trk.ti,
-            firstsf=ch.nav.firstsf, firstsfcnt=ch.nav.firstsfcnt)
+            firstsf=ch.nav.firstsf, firstsfcnt=ch.nav.firstsfcnt,
+            fcn=(ch.cfg.prn if ch.cfg.ctype == CodeType.G1 else 0))
             for ch in ready]
 
     def _emit_epochs(self) -> list[list[SdrObs]]:

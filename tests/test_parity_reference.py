@@ -128,3 +128,138 @@ def test_rinex_nav_records_byte_exact_vs_rtklib(tmp_path):
     assert len(body) == len(oracle)
     for i, (got, want) in enumerate(zip(body, oracle)):
         assert got == want, f"record line {i}:\n ours={got!r}\n rtk ={want!r}"
+
+
+def _build_rtcm_oracle(tmp_path):
+    import subprocess
+    rtk = os.path.join(REF, "lib", "RTKLIB", "src")
+    shim = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "refshim")
+    objs = []
+    for unit in ("rtkcmn", "rtcm", "rtcm2", "rtcm3", "rtcm3e"):
+        obj = str(tmp_path / (unit + ".o"))
+        subprocess.run(["gcc", "-c", "-O2", "-w", "-DENAGLO", "-DENAQZS",
+                        "-I" + rtk, os.path.join(rtk, unit + ".c"),
+                        "-o", obj], check=True, capture_output=True)
+        objs.append(obj)
+    exe = str(tmp_path / "rtcm_oracle")
+    subprocess.run(["gcc", "-O2", "-w", "-DENAGLO", "-DENAQZS", "-I" + rtk,
+                    os.path.join(shim, "rtcm_oracle.c"), *objs,
+                    "-o", exe, "-lm", "-lpthread"],
+                   check=True, capture_output=True)
+    return exe
+
+
+def _oracle_decode(exe, week, tow, payload: bytes):
+    import subprocess
+    out = subprocess.run([exe, str(week), str(tow)], input=payload,
+                         check=True, capture_output=True).stdout.decode()
+    recs = []
+    for line in out.splitlines():
+        kind, rest = line.split(" ", 1)
+        recs.append((kind, {k: float(v) for k, v in
+                            (f.split("=") for f in rest.split())}))
+    return recs
+
+
+def test_rtcm_messages_decode_exactly_via_rtklib(tmp_path):
+    """Encode 1019/1044/1020/MSM7 with our encoders, decode with the REAL
+    RTKLIB input_rtcm3 (reference lib/RTKLIB/src/rtcm3.c), and demand the
+    physical values round-trip (exactly for ephemeris fields already on
+    their broadcast scale grids; within field LSBs for MSM)."""
+    import pytest
+    from gnsslib_tpu import sim
+    from gnsslib_tpu.constants import (CLIGHT, FREQ1, FREQ1_GLO, DFRQ1_GLO,
+                                       SYS_GPS, SYS_GLO, SYS_QZS, SYS_SBS)
+    from gnsslib_tpu.gtime import gpst2time
+    from gnsslib_tpu.nav.eph import Geph
+    from gnsslib_tpu.obs.rtcm import (encode_1019, encode_1020, encode_1044,
+                                      encode_msm7)
+    exe = _build_rtcm_oracle(tmp_path)
+    week, tow = 2200, 352800.0
+
+    # --- 1019 GPS + 1044 QZSS: grid-exact round trip ------------------- #
+    eph = sim.example_eph(prn=9, week=week, toe_tow=tow).eph
+    eph.ttr = gpst2time(week, tow - 300.0)
+    qeph = sim.example_eph(prn=195, week=week, toe_tow=tow).eph
+    qeph.ttr = gpst2time(week, tow - 300.0)
+
+    # --- 1020 GLONASS: values chosen on the 1020 field grids ----------- #
+    P2 = lambda n: 2.0 ** -n
+    # iode must equal tb = Moscow-day 15-min index of toe (the RTKLIB
+    # decoder re-derives it): tow 352818 -> utc tod 7200 -> msk 18000 -> 20
+    g = Geph(iode=20, frq=-3, svh=0, age=1,
+             toe=gpst2time(week, 352818.0),       # tb grid after utc+3h
+             tof=gpst2time(week, 352700.0),
+             pos=[24576000 * P2(11) * 1e3, -30720000 * P2(11) * 1e3,
+                  38912000 * P2(11) * 1e3],
+             vel=[1048576 * P2(20) * 1e3, -2097152 * P2(20) * 1e3,
+                  524288 * P2(20) * 1e3],
+             acc=[2 * P2(30) * 1e3, -3 * P2(30) * 1e3, 0.0],
+             taun=512 * P2(30), gamn=700 * P2(40))  # |gamn| < 1024 LSB
+
+    # --- MSM7 for every system we track -------------------------------- #
+    # L must be physical (|L*lam - P| <= 1171 m or RTKLIB marks the fine
+    # phase invalid); GLONASS slot 5 rides fcn -3 (consistent with the
+    # 1020 above), passed as the 6th tuple element
+    lam_gps = CLIGHT / FREQ1
+    lam_glo = CLIGHT / (FREQ1_GLO - 3 * DFRQ1_GLO)
+    gps_obs = [(3, 21000000.0, 21000000.0 / lam_gps + 312.25, 1234.5, 45.0),
+               (17, 23000000.0, 23000000.0 / lam_gps - 97.75, -2345.5, 40.0)]
+    glo_obs = [(5, 22000000.0, 22000000.0 / lam_glo + 55.5, 987.5, 44.0,
+                -3)]
+    qzs_obs = [(195, 37000000.0, 37000000.0 / lam_gps + 7.25, -321.5, 42.0)]
+    sbs_obs = [(129, 38000000.0, 38000000.0 / lam_gps - 3.5, 12.5, 38.0)]
+
+    payload = (encode_1019(9, eph) + encode_1044(195, qeph)
+               + encode_1020(5, g)
+               + encode_msm7(SYS_GPS, gps_obs, week, tow)
+               + encode_msm7(SYS_GLO, glo_obs, week, tow)
+               + encode_msm7(SYS_QZS, qzs_obs, week, tow)
+               + encode_msm7(SYS_SBS, sbs_obs, week, tow))
+    recs = _oracle_decode(exe, week, tow - 10.0, payload)
+
+    ephs = [r for k, r in recs if k == "EPH"]
+    gephs = [r for k, r in recs if k == "GEPH"]
+    obs = [r for k, r in recs if k == "OBS"]
+    assert len(ephs) == 2 and len(gephs) == 1 and len(obs) == 5
+
+    for dec, enc, prn in ((ephs[0], eph, 9), (ephs[1], qeph, 195)):
+        assert dec["prn"] == prn
+        assert dec["iode"] == enc.iode and dec["iodc"] == enc.iodc
+        assert dec["week"] == enc.week
+        assert dec["toes"] == enc.toes
+        assert dec["A"] == pytest.approx(enc.A, abs=1e-3)
+        for f in ("e", "i0", "OMG0", "omg", "M0", "deln", "OMGd", "idot",
+                  "crc", "crs", "cuc", "cus", "cic", "cis", "f0", "f1",
+                  "f2"):
+            assert dec[f] == pytest.approx(getattr(enc, f), rel=1e-12,
+                                           abs=1e-300), f
+
+    d = gephs[0]
+    assert d["prn"] == 5 and d["iode"] == g.iode and d["frq"] == g.frq
+    for i, ax in enumerate("xyz"):
+        assert d["p" + ax] == pytest.approx(g.pos[i], abs=1e-6)
+        assert d["v" + ax] == pytest.approx(g.vel[i], abs=1e-9)
+        assert d["a" + ax] == pytest.approx(g.acc[i], abs=1e-15)
+    assert d["taun"] == pytest.approx(g.taun, rel=1e-12)
+    assert d["gamn"] == pytest.approx(g.gamn, rel=1e-12)
+
+    sysmap = {SYS_GPS: gps_obs, SYS_GLO: glo_obs, SYS_QZS: qzs_obs,
+              SYS_SBS: sbs_obs}
+    seen = {}
+    for r in obs:
+        seen.setdefault(int(r["sys"]), []).append(r)
+    for sysid, enc_list in sysmap.items():
+        dec_list = sorted(seen[sysid], key=lambda r: r["prn"])
+        assert len(dec_list) == len(enc_list)
+        for r, (prn, P, L, D, S, *_) in zip(dec_list, sorted(enc_list)):
+            assert r["prn"] == prn
+            if sysid != SYS_GLO:   # GLO epoch is tod-of-day re-anchored
+                assert r["tow"] == pytest.approx(tow, abs=2e-3)
+            # MSM7 fine LSBs: psr 2^-29 ms*c = 0.6 mm, phase 2^-31 ms
+            assert r["P"] == pytest.approx(P, abs=1e-3)
+            assert r["L"] == pytest.approx(L, abs=1e-3)
+            assert r["D"] == pytest.approx(D, abs=1e-3)
+            assert r["S"] == pytest.approx(S, abs=0.26)
+            assert r["code"] == 1.0   # CODE_L1C
