@@ -263,3 +263,76 @@ def test_rtcm_messages_decode_exactly_via_rtklib(tmp_path):
             assert r["D"] == pytest.approx(D, abs=1e-3)
             assert r["S"] == pytest.approx(S, abs=0.26)
             assert r["code"] == 1.0   # CODE_L1C
+
+
+def test_rinex_obs_records_byte_exact_vs_rtklib(tmp_path):
+    """Our RINEX 3.02 observation epoch records vs the ACTUAL RTKLIB
+    outrnxobsb with the reference receiver's rnxopt (src/sdrout.c:33-60),
+    byte-for-byte (modulo the documented sat-id zero padding): epoch
+    line format, F14.3 fields, blank zero/suppressed fields, SNR
+    quantization, multi-system ordering."""
+    import subprocess
+    rtk = os.path.join(REF, "lib", "RTKLIB", "src")
+    shim = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "refshim")
+    objs = []
+    for unit in ("rtkcmn", "rinex"):
+        obj = str(tmp_path / (unit + ".o"))
+        subprocess.run(["gcc", "-c", "-O2", "-w", "-DENAGLO", "-DENAQZS",
+                        "-I" + rtk, os.path.join(rtk, unit + ".c"),
+                        "-o", obj], check=True, capture_output=True)
+        objs.append(obj)
+    exe = str(tmp_path / "rinex_obs_oracle")
+    subprocess.run(["gcc", "-O2", "-w", "-DENAGLO", "-DENAQZS", "-I" + rtk,
+                    os.path.join(shim, "rinex_obs_oracle.c"), *objs,
+                    "-o", exe, "-lm", "-lpthread"],
+                   check=True, capture_output=True)
+
+    from gnsslib_tpu.constants import SYS_GPS, SYS_GLO, SYS_QZS, SYS_SBS
+    from gnsslib_tpu.obs.epoch import SdrObs
+    from gnsslib_tpu.obs.rinex import RinexObsWriter
+
+    week = 2200
+    epochs = []
+    # typical epoch, multi-system, negative doppler, fractional tow
+    epochs.append((352800.4688, [
+        (SYS_GPS, 3, 21123456.789, 111001234.567, 1234.5, 45.2),
+        (SYS_GPS, 17, 23987654.321, 126065432.109, -2345.5, 40.7),
+        (SYS_GLO, 5, 22456789.012, 120123456.789, 987.25, 44.1),
+        (SYS_QZS, 195, 37111222.333, 195012345.678, -321.0, 42.9),
+        (SYS_SBS, 129, 38222333.444, 200123456.789, 12.5, 38.3)]))
+    # zero P and L suppressed to blanks; whole-second tow
+    epochs.append((352801.0, [
+        (SYS_GPS, 7, 0.0, 0.0, -4999.875, 33.0),
+        (SYS_GPS, 29, 20000000.125, 0.0, 0.0, 51.75)]))
+
+    feed = []
+    for tow, obs in epochs:
+        feed.append(f"{week} {tow:.7f} {len(obs)}")
+        for sys, prn, P, L, D, S in obs:
+            feed.append(f"{sys} {prn} {P:.6f} {L:.6f} {D:.6f} {S:.4f}")
+    oracle_path = str(tmp_path / "oracle.obs")
+    subprocess.run([exe, oracle_path], input="\n".join(feed).encode(),
+                   check=True, capture_output=True)
+
+    def zeropad(line):
+        return (line[0] + line[1:3].replace(" ", "0") + line[3:]
+                if line[:1].isalpha() else line)
+    olines = open(oracle_path).read().splitlines()
+    obody = [zeropad(l.rstrip()) for l in
+             olines[next(i for i, l in enumerate(olines)
+                         if "END OF HEADER" in l) + 1:]]
+
+    ours_path = str(tmp_path / "ours.obs")
+    w = RinexObsWriter(ours_path)
+    for tow, obs in epochs:
+        w.write_epoch([SdrObs(sys=sys, prn=prn, week=week, tow=tow,
+                              P=P, L=L, D=D, S=S)
+                       for sys, prn, P, L, D, S in obs])
+    mlines = open(ours_path).read().splitlines()
+    mbody = [l.rstrip() for l in
+             mlines[next(i for i, l in enumerate(mlines)
+                         if "END OF HEADER" in l) + 1:]]
+    assert len(mbody) == len(obody)
+    for i, (got, want) in enumerate(zip(mbody, obody)):
+        assert got == want, f"line {i}:\n ours={got!r}\n rtk ={want!r}"
