@@ -161,7 +161,7 @@ class FastTracker:
         row_idx = (jnp.arange(C, dtype=jnp.int32)[:, None] * Q
                    + q_idx).reshape(C * L)
         rows = jnp.take(consts["table"].reshape(C * Q, W), row_idx,
-                        axis=0).astype(jnp.float32)
+                        axis=0)                          # table-native int8
         m0 = self.trk._tbl_m0
         return rows[:, m0:m0 + self.next]                # (C*L, next)
 
@@ -305,13 +305,16 @@ class FastTracker:
                            )(consts, fconsts, st)
             rc = self._replica_rows(consts, geo["q_idx"])    # (C*L, next)
             if self.use_pallas:
-                # flat (C*L) batch through the fused VMEM kernel
-                # (8 windows per grid cell; pad to a multiple of 8)
-                from ..ops.pallas_corr import correlate_windows8_impl
+                # flat (C*L) batch through the fused VMEM kernel:
+                # 16 windows per grid cell, bf16 windows (exact for the
+                # 8-bit front-end sample alphabet), int8 replica rows,
+                # bf16 tap math with f32 accumulation — half the window
+                # stream and a quarter of the replica stream vs f32
+                from ..ops.pallas_corr import correlate_windows16_impl
                 C, L = self.C, self.L
-                win = geo["win"]
+                win = geo["win"].astype(jnp.bfloat16)
                 B = C * L
-                pad = (-B) % 8
+                pad = (-B) % 16
                 ftot = jnp.broadcast_to(
                     (fconsts["fbt"] + st["dcps"])[:, None], (C, L))
 
@@ -322,11 +325,11 @@ class FastTracker:
                             [a, jnp.full((pad,) + a.shape[1:], fill,
                                          a.dtype)], axis=0)
                     return a
-                rc8 = jnp.concatenate(
+                rc16 = jnp.concatenate(
                     [rc, jnp.zeros((pad, rc.shape[1]), rc.dtype)],
                     axis=0) if pad else rc
-                z2 = correlate_windows8_impl(
-                    flat(win), rc8,
+                z2 = correlate_windows16_impl(
+                    flat(win), rc16,
                     flat(geo["rem_k"].reshape(C, L, 1))[:, 0],
                     flat(ftot.reshape(C, L, 1))[:, 0],
                     flat(geo["n_k"].reshape(C, L, 1))[:, 0],
