@@ -263,11 +263,13 @@ def encode_msm7(sys: int, obs_list, week: int, tow: float, staid: int = 0,
     u(12, _MSM_TYPE[sys])
     u(12, staid)
     if sys == SYS_GLO:
-        ep = time2epoch(timeadd(gpst2utc(
-            __import__("gnsslib_tpu.gtime", fromlist=["gpst2time"]
-                       ).gpst2time(week, tow)), 10800.0))
-        dow = 0  # day of week unknown in this context; tod only
-        tod = int((ep[3] * 3600 + ep[4] * 60 + ep[5]) * 1000)
+        # glonass msm epoch: dow + tod-ms of Moscow time (utc+3h), per
+        # RTKLIB encode_msm_head (rtcm3e.c:1840-1845)
+        from ..gtime import gpst2time, time2gpst
+        gtow, _ = time2gpst(timeadd(gpst2utc(gpst2time(week, tow)),
+                                    10800.0))
+        dow = int(gtow // 86400.0)
+        tod = _round((gtow % 86400.0) * 1000.0)
         u(30, (dow << 27) | (tod & 0x7FFFFFF))
     else:
         u(30, int(tow * 1000))

@@ -255,8 +255,9 @@ def test_rtcm_messages_decode_exactly_via_rtklib(tmp_path):
         assert len(dec_list) == len(enc_list)
         for r, (prn, P, L, D, S, *_) in zip(dec_list, sorted(enc_list)):
             assert r["prn"] == prn
-            if sysid != SYS_GLO:   # GLO epoch is tod-of-day re-anchored
-                assert r["tow"] == pytest.approx(tow, abs=2e-3)
+            # GLO included: with the dow field encoded (rtcm3e.c:1843)
+            # the decoder re-anchors to the exact epoch
+            assert r["tow"] == pytest.approx(tow, abs=2e-3)
             # MSM7 fine LSBs: psr 2^-29 ms*c = 0.6 mm, phase 2^-31 ms
             assert r["P"] == pytest.approx(P, abs=1e-3)
             assert r["L"] == pytest.approx(L, abs=1e-3)
