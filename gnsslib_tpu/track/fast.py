@@ -392,6 +392,17 @@ class FastTracker:
         come back in per-period (steps, C, ...) layout."""
         if nsteps % self.L:
             raise ValueError(f"nsteps must be a multiple of L={self.L}")
+        new_state, handle = self.run_block_start(state, block, nsteps)
+        return new_state, self.run_block_collect(handle)
+
+    def run_block_start(self, state: TrackState, block, nsteps: int):
+        """Dispatch a block without fetching telemetry: returns
+        (new_state, handle).  The device starts computing immediately;
+        call :meth:`run_block_collect` on the handle to fetch and unpack
+        outputs.  Dispatching the NEXT block before collecting the
+        previous one overlaps its device compute with this handle's
+        device->host transfer (the transfer is ~30% of a sequential
+        block's wall time over the relay)."""
         if hasattr(block, "dtype") and jnp.iscomplexobj(block):
             b = np.asarray(block)
             block = jnp.asarray(np.stack([b.real, b.imag], axis=-1)
@@ -401,7 +412,12 @@ class FastTracker:
         carry, packf, packi = self._run(carry, block, self._consts,
                                         self._fconsts, S)
         new_state = self.trk._dict_to_state(carry, state)
-        o = self._unpack(*jax.device_get((packf, packi)))
+        return new_state, (packf, packi)
+
+    def run_block_collect(self, handle) -> TrackOutputs:
+        """Fetch + unpack a run_block_start handle into TrackOutputs."""
+        o = self._unpack(*jax.device_get(handle))
+        S = o["k_c"].shape[0]
         L, C, taps = self.L, self.C, self.cfg.ntaps
 
         def tolinear(a):
@@ -440,4 +456,4 @@ class FastTracker:
             carr_nco=widen(o["carr_nco"]), code_nco=widen(o["code_nco"]),
             flagloopfilter=flagloop,
         )
-        return new_state, TrackOutputs(**outs)
+        return TrackOutputs(**outs)
