@@ -91,6 +91,9 @@ class FastTracker:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
         self._pallas_interpret = use_pallas == "interpret"
+        # rows per window for the take-based fetch: nwin rounded up to
+        # whole 128-rows, +1 halo row for the residual-rotation pair
+        self._fetch_nr = (self.nwin + 127) // 128 + 1
 
     # ------------------------------------------------------------------ #
     def init_state(self) -> TrackState:
@@ -136,11 +139,60 @@ class FastTracker:
         rem_k = frac(st["remcarr"] + fc["base_adv_k"][:L] + base_e
                      + frac(w * ki) + st["dcps"] * e_k.astype(jnp.float32))
 
-        # windows
-        win = jax.vmap(lambda s0: jax.lax.dynamic_slice_in_dim(
-            block, s0, self.nwin))(wstart)                      # (L, nwin[,2])
         return dict(d=d, n_k=n_k, remcode_k=remcode_k, rem_k=rem_k,
-                    win=win, q_idx=q_idx)
+                    wstart=wstart, q_idx=q_idx)
+
+    def _fetch_windows(self, block2, wstart):
+        """(B,) sample starts -> (B, nwin[, 2]) windows, without the
+        vmapped dynamic_slice gather (measured ~0.65 ms/super-step for
+        21 MB — XLA lowers batched arbitrary-offset slices poorly):
+
+        1. row take: each window = NR consecutive 128-sample rows of the
+           pre-reshaped block, starting at floor(start/128) — a flat row
+           gather, the SAME pattern as the (fast) replica-table gather;
+        2. residual [0,128) alignment by an exact one-hot selection
+           matmul on the MXU: rotated[b, j, l] = rows[b, j, l + r_b]
+           through [row_j | row_j+1] (256) x one-hot (256, 128).
+
+        The one-hot has exactly one 1 per column, so the bf16 matmul
+        SELECTS values exactly (samples are 8-bit-alphabet, bf16-exact).
+        Net: 1.50 -> 0.86 ms/super-step for fetch+correlate.
+        """
+        B = wstart.shape[0]
+        NR = self._fetch_nr
+        r0 = wstart // 128
+        r = (wstart - r0 * 128)
+        idx = (r0[:, None]
+               + jnp.arange(NR, dtype=jnp.int32)[None, :]).reshape(-1)
+        lane = jnp.arange(256, dtype=jnp.int32)
+        out_l = jnp.arange(128, dtype=jnp.int32)
+        E = (lane[None, :, None] == (out_l[None, None, :]
+                                     + r[:, None, None])
+             ).astype(jnp.bfloat16)                       # (B, 256, 128)
+
+        def rot_component(b2):
+            rows = jnp.take(b2, idx, axis=0).reshape(B, NR, 128)
+            pairs = jnp.concatenate([rows[:, :-1, :], rows[:, 1:, :]],
+                                    axis=2).astype(jnp.bfloat16)
+            rot = jax.lax.dot_general(
+                pairs, E, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)       # (B, NR-1, 128)
+            return rot.reshape(B, (NR - 1) * 128)[:, :self.nwin]
+
+        if isinstance(block2, tuple):                     # stacked I/Q
+            wi = rot_component(block2[0])
+            wq = rot_component(block2[1])
+            return jnp.stack([wi, wq], axis=-1)
+        return rot_component(block2)
+
+    def _block_rows(self, block):
+        """Pre-reshape a block into 128-sample rows for _fetch_windows
+        (hoisted out of the scan: the block is loop-invariant)."""
+        nrow = block.shape[0] // 128
+        if block.ndim == 2:                               # (n, 2) I/Q
+            b = block[: nrow * 128]
+            return (b[:, 0].reshape(nrow, 128), b[:, 1].reshape(nrow, 128))
+        return block[: nrow * 128].reshape(nrow, 128)
 
     def _replica_rows(self, consts, q_idx):
         """(C, L) quantized-phase indices -> (C*L, next) replica rows.
@@ -299,11 +351,16 @@ class FastTracker:
     # ------------------------------------------------------------------ #
     def run_steps(self, carry, block, consts, fconsts, nsuper: int):
         offsets = tuple(int(o) for o in np.asarray(self.offsets))
+        block2 = self._block_rows(block)   # loop-invariant: hoists
 
         def step(st, _):
             geo = jax.vmap(functools.partial(self._geo_only, block)
                            )(consts, fconsts, st)
             rc = self._replica_rows(consts, geo["q_idx"])    # (C*L, next)
+            C, L = self.C, self.L
+            B = C * L
+            winf = self._fetch_windows(block2,
+                                       geo["wstart"].reshape(B))
             if self.use_pallas:
                 # flat (C*L) batch through the fused VMEM kernel:
                 # 16 windows per grid cell, bf16 windows (exact for the
@@ -311,9 +368,7 @@ class FastTracker:
                 # bf16 tap math with f32 accumulation — half the window
                 # stream and a quarter of the replica stream vs f32
                 from ..ops.pallas_corr import correlate_windows16_impl
-                C, L = self.C, self.L
-                win = geo["win"].astype(jnp.bfloat16)
-                B = C * L
+                win = winf.astype(jnp.bfloat16)
                 pad = (-B) % 16
                 ftot = jnp.broadcast_to(
                     (fconsts["fbt"] + st["dcps"])[:, None], (C, L))
@@ -325,11 +380,15 @@ class FastTracker:
                             [a, jnp.full((pad,) + a.shape[1:], fill,
                                          a.dtype)], axis=0)
                     return a
+                if pad:
+                    win = jnp.concatenate(
+                        [win, jnp.zeros((pad,) + win.shape[1:],
+                                        win.dtype)], axis=0)
                 rc16 = jnp.concatenate(
                     [rc, jnp.zeros((pad, rc.shape[1]), rc.dtype)],
                     axis=0) if pad else rc
                 z2 = correlate_windows16_impl(
-                    flat(win), rc16,
+                    win, rc16,
                     flat(geo["rem_k"].reshape(C, L, 1))[:, 0],
                     flat(ftot.reshape(C, L, 1))[:, 0],
                     flat(geo["n_k"].reshape(C, L, 1))[:, 0],
@@ -341,6 +400,7 @@ class FastTracker:
                 cur_i = z2[..., 1::2]
             else:
                 geo["rc"] = rc.reshape(self.C, self.L, self.next)
+                geo["win"] = winf.reshape((C, L) + winf.shape[1:])
                 cur_i, cur_q = jax.vmap(self._taps_xla)(consts, geo, st)
 
             def one(cc, fcc, stc, geoc, ci_, cq_):

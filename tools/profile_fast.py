@@ -107,11 +107,14 @@ def main():
     # geo + row gather only
     @functools.partial(jax.jit, static_argnums=4)
     def gather(carry, block, consts, fconsts, nsuper):
+        block2 = fast._block_rows(block)
         def step(st, _):
             geo = jax.vmap(functools.partial(fast._geo_only, block)
                            )(consts, fconsts, st)
             rc = fast._replica_rows(consts, geo["q_idx"])
-            s = jnp.sum(rc[:, ::997]) + jnp.sum(geo["win"][:, :, ::997])
+            win = fast._fetch_windows(block2,
+                                      geo["wstart"].reshape(fast.C * fast.L))
+            s = jnp.sum(rc[:, ::997]) + jnp.sum(win[:, ::997])
             st = dict(st, remcarr=st["remcarr"] + 1e-12 * s)
             return st, s
         return jax.lax.scan(step, carry, None, length=nsuper)
@@ -126,11 +129,14 @@ def main():
     # geo + FULL materialization of win and rc (sum-consumed, not elidable)
     @functools.partial(jax.jit, static_argnums=4)
     def mater(carry, block, consts, fconsts, nsuper):
+        block2 = fast._block_rows(block)
         def step(st, _):
             geo = jax.vmap(functools.partial(fast._geo_only, block)
                            )(consts, fconsts, st)
             rc = fast._replica_rows(consts, geo["q_idx"])
-            s = jnp.sum(rc) + jnp.sum(geo["win"])
+            win = fast._fetch_windows(block2,
+                                      geo["wstart"].reshape(fast.C * fast.L))
+            s = jnp.sum(rc) + jnp.sum(win)
             st = dict(st, remcarr=st["remcarr"] + 1e-12 * s)
             return st, s
         return jax.lax.scan(step, carry, None, length=nsuper)
@@ -188,12 +194,14 @@ def main():
     def mk_half(use_real_win, use_real_rc, tag):
         @functools.partial(jax.jit, static_argnums=(4,))
         def half(carry, block, consts, fconsts, nsuper):
+            block2 = fast._block_rows(block)
             def step(st, _):
                 geo = jax.vmap(functools.partial(fast._geo_only, block)
                                )(consts, fconsts, st)
                 ftot = jnp.broadcast_to(
                     (fconsts["fbt"] + st["dcps"])[:, None], (C, L))
-                w = geo["win"].reshape(B, trk.nwin) if use_real_win else winc
+                w = (fast._fetch_windows(block2, geo["wstart"].reshape(B))
+                     if use_real_win else winc)
                 r = (fast._replica_rows(consts, geo["q_idx"])
                      if use_real_rc else rcc)
                 z2 = correlate_windows8_impl(
