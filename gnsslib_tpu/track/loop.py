@@ -142,8 +142,16 @@ class Tracker:
             )
         else:
             # quantized-phase replica table (see _channel_step): rows are
-            # resampled codes at f_q = q*ci0/Q sub-sample phases, padded so
-            # any phase in remcode ∈ [-2, 2] chips is a contiguous slice
+            # resampled codes at the MIDPOINT phases f_q = (q+.5)*ci0/Q,
+            # paired with FLOOR quantization of the phase (not round).
+            # This is interval-preserving: when the sample grid is
+            # chip-commensurate (16.368/1.023 = 16 samples/chip), all
+            # chip-transition breakpoints sit exactly on the q-grid, and
+            # round() could push a phase just below a chip boundary onto
+            # the boundary itself — flipping the chip identity of every
+            # 16th sample (~12% replica mismatch, ~20% prompt loss).
+            # floor+midpoint never crosses a breakpoint and keeps the
+            # quantization error zero-mean (no pseudorange bias).
             self._tbl_q = int(max(64, min(1024, 2 ** int(np.ceil(
                 np.log2(512.0 * float(ci0.max())))))))
             self._tbl_m0 = int(np.ceil(2.0 / ci0.min())) + self.smax + 2
@@ -151,7 +159,7 @@ class Tracker:
             j = np.arange(W, dtype=np.float64) - self._tbl_m0
             tbl = np.empty((C, self._tbl_q, W), np.int8)
             for c in range(C):
-                fq = (np.arange(self._tbl_q, dtype=np.float64)
+                fq = ((np.arange(self._tbl_q, dtype=np.float64) + 0.5)
                       * ci0[c] / self._tbl_q)
                 pos = fq[:, None] + ci0[c] * j[None, :]
                 idx = np.floor(pos).astype(np.int64)
@@ -253,7 +261,7 @@ class Tracker:
             phi = st["remcode"] - cc["ci0"] * self.smax
             s = phi / cc["ci0"]
             m = jnp.floor(s)
-            q_idx = jnp.round((s - m) * self._tbl_q).astype(jnp.int32)
+            q_idx = jnp.floor((s - m) * self._tbl_q).astype(jnp.int32)
             m = m.astype(jnp.int32) + q_idx // self._tbl_q
             q_idx = q_idx % self._tbl_q
             # row select: a whole-row take (gather of one contiguous

@@ -72,6 +72,64 @@ def test_fast_requires_table_and_sync_cadence():
         ft.run_block(ft.init_state(), jnp.zeros(100000, jnp.float32), 1001)
 
 
+def test_fast_diag_matches_xla():
+    """The MXU Gram-diagonal correlator (_taps_diag) matches the XLA
+    einsum formulation through the full FastTracker, including I/Q
+    bookkeeping, loop-filter updates, and sample accounting.
+
+    The two runs' f32 states diverge at summation-order level; when the
+    code phase drifts across a chip-commensurate table breakpoint
+    (4 samples/chip here) that divergence can flip one period's replica
+    by a table quantum, so a couple of isolated one-period excursions
+    are expected and bounded rather than forbidden (same behaviour as
+    pallas-vs-xla on long runs)."""
+    trk, st, block = _locked_state()
+    fx = FastTracker(trk, use_pallas=False)
+    fd = FastTracker(trk, use_pallas=False)
+    fd.corr = "diag"
+    _, out_x = fx.run_block(st, block, 600)
+    _, out_d = fd.run_block(st, block, 600)
+    assert np.array_equal(out_x.loc, out_d.loc)
+    scale = np.max(np.abs(out_x.ip))
+    for a, b in ((out_x.ip, out_d.ip), (out_x.qp, out_d.qp)):
+        d = np.abs(a - b)
+        outliers = int(np.sum(d > 5e-3 * scale))
+        assert outliers <= 3, (outliers, float(d.max()))
+        assert np.median(d) < 1e-3 * scale
+        corr = np.corrcoef(a[:, 0], b[:, 0])[0, 1]
+        assert corr > 0.999, corr
+    np.testing.assert_allclose(out_x.dcarr, out_d.dcarr, atol=0.5)
+    s_upd = np.nonzero(out_x.flagloopfilter[:, 0] == 2)[0]
+    d_upd = np.nonzero(out_d.flagloopfilter[:, 0] == 2)[0]
+    assert np.array_equal(s_upd, d_upd)
+
+
+def test_fast_diag_matches_xla_iq():
+    """Diag correlator with a complex (I/Q-stacked) front end."""
+    f_sf, f_if, C = 4.092e6, 0.0, 2
+    chans = [sim.SimChannel(prn=p, doppler=400.0 * p, code_phase=50.0 * p)
+             for p in (2, 9)]
+    data = sim.synthesize(chans, f_sf, f_if, DType.IQ, int(1.2 * f_sf),
+                          noise_std=1.0, seed=11)
+    block = jnp.asarray(np.asarray(data, np.float32))     # (n, 2) I/Q
+    trk = Tracker(CFG, [2, 9], [CodeType.L1CA] * C, f_sf, f_if, DType.IQ)
+    st = trk.init_state()
+    st = trk.start_channels(st, [0, 1], [0, 0], [-400.0, -3600.0])
+    st, _ = trk.run_block(st, block, 300)
+    for c in range(C):
+        st = trk.set_bit_sync(st, c, 0)
+    fx = FastTracker(trk, use_pallas=False)
+    fd = FastTracker(trk, use_pallas=False)
+    fd.corr = "diag"
+    _, out_x = fx.run_block(st, block, 200)
+    _, out_d = fd.run_block(st, block, 200)
+    assert np.array_equal(out_x.loc, out_d.loc)
+    scale = np.max(np.abs(out_x.ip))
+    d = np.abs(out_x.ip - out_d.ip)
+    assert int(np.sum(d > 5e-3 * scale)) <= 2, float(d.max())
+    assert np.median(d) < 1e-3 * scale
+
+
 def test_fast_pallas_interpret_matches_xla():
     """The fused Pallas correlator path (interpret mode on CPU) matches
     the XLA formulation through the full FastTracker."""

@@ -62,8 +62,9 @@ def main():
 
     consts, fconsts = trk._consts, fast._fconsts
 
-    def run_variant(tag, use_pallas):
+    def run_variant(tag, use_pallas, corr=None):
         fast.use_pallas = use_pallas
+        fast.corr = corr or ("pallas" if use_pallas else "xla")
 
         @functools.partial(jax.jit, static_argnums=4)
         def f(carry, block, consts, fconsts, nsuper):
@@ -77,6 +78,7 @@ def main():
               f"({nsteps*nsamp/dt/1e6:6.1f} Msps)  compile {comp:.1f}s")
 
     run_variant("full", True)
+    run_variant("diag", False, corr="diag")
     run_variant("xla", False)
 
     # scan floor: geo + filter, correlation replaced by zeros
