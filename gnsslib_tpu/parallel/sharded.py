@@ -121,7 +121,7 @@ class ShardedAcquirer:
             local, mesh=mesh,
             in_specs=(P(), dict(codex_ri=P(ax), nsampchip=P(ax),
                                 base_phase=P(ax), d_cps=P())),
-            out_specs=(P(ax), P(ax), P(ax), P(ax), P(ax))))
+            out_specs=(P(ax),) * 6))
 
     def search(self, data: np.ndarray) -> AcqResult:
         import jax.numpy as jnp
@@ -133,14 +133,18 @@ class ShardedAcquirer:
         rounds = np.stack([data[r * self.acq.nsamp:
                                 r * self.acq.nsamp + nwin]
                            for r in range(self.acq.intg)])
-        _, codei, freqi, cn0, peakr = self._fn(jnp.asarray(rounds),
-                                               self._consts)
+        _, codei, freqi, cn0, peakr, confirmed = self._fn(
+            jnp.asarray(rounds), self._consts)
         codei = np.asarray(codei)
         freqi = np.asarray(freqi)
         cn0 = np.asarray(cn0)
         peakr = np.asarray(peakr)
+        confirmed = np.asarray(confirmed)
         acqfreq = self.acq.freqs_abs[np.arange(self.acq.C), freqi]
         dcarr = self.acq.dopp_hz[freqi]
-        return AcqResult(acquired=peakr > self.acq.thresh, codei=codei,
+        acquired = peakr > self.acq.thresh
+        if self.acq.confirm:
+            acquired = acquired & confirmed
+        return AcqResult(acquired=acquired, codei=codei,
                          freqi=freqi, acqfreq=acqfreq, dcarr=dcarr,
-                         cn0=cn0, peakr=peakr)
+                         cn0=cn0, peakr=peakr, confirmed=confirmed)

@@ -59,6 +59,10 @@ class ReceiverConfig:
     ref_week: int = 2200
     relock: bool = False      # loss-of-lock detection + reacquisition
                               # (absent in the reference; SURVEY.md §5)
+    acqconfirm: bool = False  # acquisition false-lock guard: even/odd
+                              # integration halves must agree on the peak
+                              # (reference accepts the first pass,
+                              # src/sdracq.c:89-94)
 
 
 def _get(cp, sec, key, default=None):
@@ -170,4 +174,7 @@ def load_ini(path: str) -> ReceiverConfig:
         rtcmport=_geti(cp, "OUTPUT", "RTCMPORT", 9999),
         sbasport=_geti(cp, "OUTPUT", "SBASPORT", 9997),
         spec=bool(_geti(cp, "SPECTRUM", "SPEC", 0)),
+        # extension knobs (absent in the reference INI schema)
+        relock=bool(_geti(cp, "RCV", "RELOCK", 0)),
+        acqconfirm=bool(_geti(cp, "RCV", "ACQCONFIRM", 0)),
     )

@@ -85,3 +85,39 @@ def test_acquisition_glonass_fdma():
     assert res.acquired[0]
     assert abs(res.dcarr[0] - 1000.0) <= 200.0 + 1e-6
     assert abs(res.acqfreq[0] - (f_if + foff + 1000.0)) <= 200.0 + 1e-6
+
+
+def test_acquisition_confirm_guard():
+    """False-lock guard: a true peak persists across the even/odd
+    integration halves; a noise peak lands in a different cell each half.
+    With the threshold floored at 1.0 every channel "passes" the peak
+    test, so the guard is the only thing separating them."""
+    f_sf, f_if = 4.092e6, 1.023e6
+    nsamp = 4092
+    ch = sim.SimChannel(prn=7, doppler=900.0,
+                        code_phase=-1234 * 1.023e6 / f_sf)
+    noise = sim.noise_std_for_cn0(1.0, 45.0, f_sf, DType.REAL)
+    x = sim.synthesize([ch], f_sf, f_if, DType.REAL, 12 * nsamp,
+                       noise_std=noise, seed=7)
+    data = np.asarray(x, np.float32)
+
+    # prn 7 present, prn 13/29 absent (pure noise for them)
+    acq = Acquirer([7, 13, 29], [CodeType.L1CA] * 3, f_sf, f_if,
+                   DType.REAL, intg=10, thresh=1.0, confirm=True)
+    res = acq.search(data)
+    assert res.confirmed[0], "true signal must confirm"
+    assert res.acquired[0]
+    derr = min(abs(res.codei[0] - 1234), nsamp - abs(res.codei[0] - 1234))
+    assert derr <= 1
+    # every channel beats thresh=1.0 by construction...
+    assert np.all(res.peakr > 1.0)
+    # ...but the noise channels' halves disagree (agreement probability
+    # ~ (9 bins x 4 chips)/(71 bins x 4092 samples) per channel)
+    assert not res.confirmed[1] and not res.confirmed[2]
+    assert not res.acquired[1] and not res.acquired[2]
+
+    # confirm=False preserves the reference behavior (first-pass accept)
+    acq0 = Acquirer([7, 13, 29], [CodeType.L1CA] * 3, f_sf, f_if,
+                    DType.REAL, intg=10, thresh=1.0, confirm=False)
+    res0 = acq0.search(data)
+    assert np.all(res0.acquired), "thresh=1.0 accepts everything unguarded"
