@@ -1,0 +1,125 @@
+"""Device-resident IF sample segments.
+
+The receiver's per-block host->device transfer is the streaming
+bottleneck on a remote-attached TPU: a 400 ms tracking block is ~26 MB as
+float32, re-shipped every block (~65 MB per second of signal), and the
+transfer serializes with the block's compute in the relay's command
+queue.  This cache ships each sample ONCE, in large segments, in the
+narrowest dtype that represents the decoded alphabet exactly:
+
+* int8  — FILE/GN3S/STEREO alphabets (integer, |x| <= 127): 4x smaller
+* int16 — BladeRF SC16 (12-bit integers): 2x smaller
+* f32   — anything else (RTL-SDR's u8-127.5 half-integers)
+
+Blocks are then cut on-device by one jitted dynamic_slice (+ cast back to
+float32, so downstream numerics are bit-identical to the direct path).
+The reference's analogue is the 327 MB host ring buffer
+(src/sdrrcv.c:207-225); on TPU the ring lives in HBM.
+"""
+from __future__ import annotations
+
+import concurrent.futures
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class DeviceBlockCache:
+    """Wraps a frontend's ``read`` with device-segment caching.
+
+    ``get(start, n)`` returns a float32 device array of samples
+    [start, start+n) — same values as ``jnp.asarray(frontend.read(...))``.
+    ``n`` must not exceed ``seg_len - advance`` headroom; segments are
+    re-uploaded as the cursor walks forward.
+
+    With ``prefetch`` (default), the NEXT segment's file read + compress +
+    device transfer run on a worker thread, kicked two blocks before the
+    current segment runs out — at steady state the upload fully overlaps
+    tracking compute instead of stalling the stream every segment.  The
+    prefetched segment starts ``block_len`` before the current one ends
+    (the earliest possible miss point, since the caller's stride is
+    unknown), costing ~1/seg_blocks of duplicate transfer.
+    """
+
+    def __init__(self, frontend, block_len: int, seg_blocks: int | None = None,
+                 prefetch: bool = True, max_bytes: float = 1.5e9):
+        self.fe = frontend
+        self.block_len = int(block_len)
+        if seg_blocks is None:
+            # auto: cover the WHOLE stream when it fits the byte budget —
+            # post-processing captures (60 s @ 16.368 Msps int8 = 1 GB)
+            # then ship exactly once and steady state never transfers
+            from ..constants import DType, FrontendType
+            spec = getattr(frontend, "spec", None)
+            comps = 2 if spec is not None and spec.dtype == DType.IQ else 1
+            # raw-int8 fast path only holds for plain FILE streams; assume
+            # the worst (float32) for every other decode
+            bps = (1 if spec is not None
+                   and spec.fend == FrontendType.FILE else 4)
+            cap = max(16, int(max_bytes / (bps * comps * self.block_len)))
+            total = getattr(frontend, "nsamples", None)
+            want = (-(-int(total) // self.block_len) + 1
+                    if total else 16)
+            seg_blocks = min(cap, max(16, want))
+        self.seg_len = int(seg_blocks) * self.block_len
+        self._start = 0
+        self._seg = None
+        self._np_dtype = None
+        self._exec = (concurrent.futures.ThreadPoolExecutor(1)
+                      if prefetch else None)
+        self._next = None             # (start, Future[device array])
+
+    def _compress(self, x: np.ndarray) -> np.ndarray:
+        """Narrowest exact host dtype for the decoded samples (decided
+        once on the first segment, then trusted: one front end = one
+        alphabet)."""
+        if self._np_dtype is None:
+            if x.dtype in (np.int8, np.int16):
+                self._np_dtype = x.dtype.type
+                return x
+            for dt in (np.int8, np.int16):
+                xi = x.astype(dt)
+                if np.array_equal(xi.astype(np.float32), x):
+                    self._np_dtype = dt
+                    break
+            else:
+                self._np_dtype = np.float32
+        return x.astype(self._np_dtype, copy=False)
+
+    def _load(self, start: int):
+        read = getattr(self.fe, "read_narrow", self.fe.read)
+        return jnp.asarray(self._compress(read(start, self.seg_len)))
+
+    def _upload(self, start: int) -> None:
+        if self._next is not None:
+            nstart, fut = self._next
+            self._next = None
+            if nstart <= start and start + self.block_len \
+                    <= nstart + self.seg_len:
+                self._seg = fut.result()
+                self._start = nstart
+                return
+            fut.cancel() or fut.result()      # drain a useless prefetch
+        self._seg = self._load(start)
+        self._start = start
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _slice(self, seg, off):
+        w = jax.lax.dynamic_slice_in_dim(seg, off, self.block_len, axis=0)
+        return w.astype(jnp.float32)
+
+    def get(self, start: int, n: int):
+        if n != self.block_len:
+            raise ValueError(f"block length {n} != {self.block_len}")
+        if self._seg is None or start < self._start or \
+                start + n > self._start + self.seg_len:
+            self._upload(start)
+        if self._exec is not None and self._next is None and \
+                start + 3 * self.block_len > self._start + self.seg_len:
+            # the earliest possible next miss is one block before the end
+            nstart = self._start + self.seg_len - self.block_len
+            self._next = (nstart, self._exec.submit(self._load, nstart))
+        return self._slice(self._seg, start - self._start)

@@ -123,6 +123,25 @@ class FileFrontend:
             x = np.concatenate([x, pad], axis=0)
         return x
 
+    def read_narrow(self, start: int, n: int) -> np.ndarray:
+        """Like :meth:`read` but, for plain int8 FILE streams, returns the
+        raw int8 samples without the float32 round-trip — the device
+        block cache (io/devcache.py) ships these bytes as-is, so skipping
+        the 4x-larger float materialization saves host time and memory on
+        every segment upload.  Other formats fall back to ``read``."""
+        if self.spec.fend == FrontendType.FILE:
+            self._fp.seek(self._byte0 + start * self.bps)
+            raw = np.frombuffer(self._fp.read(n * self.bps), np.int8)
+            got = len(raw) // self.bps
+            x = raw[:got * self.bps]
+            if self.spec.dtype == DType.IQ:
+                x = x.reshape(-1, 2)
+            if got < n:
+                x = np.concatenate(
+                    [x, np.zeros((n - got,) + x.shape[1:], np.int8)])
+            return x
+        return self.read(start, n)
+
     @property
     def eof_at(self) -> int:
         return self.nsamples

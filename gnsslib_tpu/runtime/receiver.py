@@ -30,6 +30,7 @@ from ..nav.sbas import gen_novatel_sbasmsg
 from ..obs.rtcm import encode_1019, encode_1020, encode_1044, encode_msm7
 from ..sat import satno, satno2id
 from .tcpout import TcpServer
+from ..io.devcache import DeviceBlockCache
 from ..obs.epoch import ChannelObsInput, EpochAligner, SdrObs
 from ..obs.history import ObsHistory
 from ..obs.rinex import RinexObsWriter, RinexNavWriter
@@ -163,10 +164,19 @@ class Receiver:
 
     def __init__(self, cfg: ReceiverConfig, frontend, ftype: int = 1,
                  nsteps_per_block: int = 400, hub: OutputHub | None = None,
-                 standalone: bool = True):
+                 standalone: bool = True, pipeline: bool = True):
         self.cfg = cfg
         self.frontend = frontend
         self.standalone = standalone
+        # steady-state pipelining (FastTracker.run_block_start/collect):
+        # dispatch block k+1 before collecting block k's telemetry so the
+        # device->host transfer and all host-side nav/obs work overlap the
+        # next block's device compute.  Engaged only when every locked
+        # channel is bit-synced (no host->device nav feedback pending) and
+        # relock is off (loss-of-lock must reset state before the next
+        # dispatch); costs one block of nav/output latency.
+        self.pipeline = pipeline
+        self._pending = None          # (handle, base, cnt0) of last block
         spec = cfg.fends[ftype - 1]
         self.spec = spec
         chans = [c for c in cfg.channels if c.ftype == ftype]
@@ -178,7 +188,8 @@ class Receiver:
         f_cfs = [c.f_cf for c in chans]
 
         self.acq = Acquirer(self.prns, self.ctypes, spec.f_sf, spec.f_if,
-                            spec.dtype, foffsets=foffsets)
+                            spec.dtype, foffsets=foffsets,
+                            confirm=cfg.acqconfirm)
         self.trk = Tracker(cfg.track, self.prns, self.ctypes, spec.f_sf,
                            spec.f_if, spec.dtype, foffsets=foffsets,
                            f_cfs=f_cfs)
@@ -194,6 +205,10 @@ class Receiver:
         self.nsteps = int(nsteps_per_block)
         self.block_len = (self.nsteps * self.nsamp + self.trk.nwin
                           + NSPAN * self.nsteps + 2 * self.nsamp + 64)
+        # device-resident sample segments: each sample crosses the
+        # host->device boundary once, in its narrowest exact dtype; blocks
+        # are cut on-device (io/devcache.py)
+        self.cache = DeviceBlockCache(frontend, self.block_len)
         self.base = 0                      # abs sample index of block start
         self.channels = []
         for i, c in enumerate(chans):
@@ -209,6 +224,11 @@ class Receiver:
             self.channels.append(ChannelRuntime(idx=i, cfg=c, nav=nav,
                                                 hist=hist))
         self.hub = hub if hub is not None else OutputHub(cfg)
+        # host shadow of state.cnt: reading the device array every block
+        # would sync on the previous dispatch (serializing the pipeline);
+        # cnt advances deterministically (+nsteps per block for channels
+        # active at dispatch, 0 at start_channels)
+        self._cnt_host = np.zeros(len(self.channels), np.int64)
         self.loggers = {}
         if cfg.log:
             os.makedirs(cfg.logpath, exist_ok=True)
@@ -238,14 +258,14 @@ class Receiver:
         return self.hub.nav_writer
 
     # ------------------------------------------------------------------ #
-    def _try_acquire(self, block_np: np.ndarray) -> None:
+    def _try_acquire(self) -> None:
         t_stream = self.base / self.spec.f_sf
         pend = [ch for ch in self.channels if not ch.locked and
                 t_stream - ch.last_acq_attempt >= ACQSLEEP / 1000.0 - 1e-9]
         if not pend:
             return
         need = (self.acq.intg + 2) * self.nsamp
-        res = self.acq.search(block_np[:need])
+        res = self.acq.search(self.frontend.read(self.base, need))
         for ch in pend:
             i = ch.idx
             ch.last_acq_attempt = t_stream
@@ -255,14 +275,19 @@ class Receiver:
                 self.state = self.trk.start_channels(
                     self.state, [i], [int(res.codei[i])],
                     [float(res.dcarr[i])])
+                self._cnt_host[i] = 0
                 self.events.append(
                     ("acq", t_stream, ch.cfg.prn, float(res.cn0[i]),
                      float(res.peakr[i])))
 
     # ------------------------------------------------------------------ #
-    def _feed_nav_and_obs(self, out, cnt0: np.ndarray) -> None:
+    def _feed_nav_and_obs(self, out, cnt0: np.ndarray, base: int,
+                          locked0: list[bool]) -> None:
+        # locked0 = lock flags AT DISPATCH of this block: with pipelining a
+        # channel acquired while the block was in flight is locked NOW but
+        # produced only inactive-channel garbage IN the block
         for ch in self.channels:
-            if not ch.locked:
+            if not (ch.locked and locked0[ch.idx]):
                 continue
             i = ch.idx
             was_started = int(cnt0[i])
@@ -271,11 +296,11 @@ class Receiver:
             # start; cnt0 is 0 for it and all steps are valid
             evs = ch.nav.update(
                 out.ip[:, i],
-                self.base + out.loc[:, i].astype(np.int64),
+                base + out.loc[:, i].astype(np.int64),
                 was_started)
             for e in evs:
                 self.events.append(("nav:" + e.kind,
-                                    self.base / self.spec.f_sf,
+                                    base / self.spec.f_sf,
                                     ch.cfg.prn, e.sfid, e.tow))
             if ch.nav.flagsync and not ch.synced:
                 self.state = self.trk.set_bit_sync(self.state, i,
@@ -287,11 +312,11 @@ class Receiver:
                 self.loggers[i].log_block(out, i, ch.nav, ch.hist,
                                           int(cnt0[i]))
             if self.cfg.relock and ch.synced:
-                self._check_lock(ch, out)
+                self._check_lock(ch, out, base)
             if ch.nav.flagdec:
                 ch.hist.update(
                     cnts=was_started + np.arange(steps),
-                    bufflocs=self.base + out.loc[:, i].astype(np.int64),
+                    bufflocs=base + out.loc[:, i].astype(np.int64),
                     ns=out.n[:, i], dcarr=out.dcarr[:, i],
                     remcode=out.remcode[:, i], dcode=out.dcode[:, i],
                     sum_i=out.sum_i[:, i], remcarr=out.remcarr[:, i],
@@ -317,7 +342,7 @@ class Receiver:
             gen_novatel_sbasmsg(sb)
             self.hub.sbas_srv.send(bytes(sb.novatelmsg))
 
-    def _check_lock(self, ch, out) -> None:
+    def _check_lock(self, ch, out, base: int) -> None:
         """Loss-of-lock detection (absent in the reference — a channel
         that fades keeps integrating noise forever, SURVEY.md §5); gated
         by ReceiverConfig.relock.  Declares loss when the prompt coherent
@@ -337,7 +362,7 @@ class Receiver:
                                 ref_week=self.cfg.ref_week)
             ch.hist.nrec = 0
             ch.last_acq_attempt = -1e9
-            self.events.append(("lol", self.base / self.spec.f_sf,
+            self.events.append(("lol", base / self.spec.f_sf,
                                 ch.cfg.prn))
         else:
             ch.peak_prompt = max(ch.peak_prompt, float(np.median(p)))
@@ -382,6 +407,7 @@ class Receiver:
         self.hub._oldreftow = d["oldreftow"]
         self.state = dataclasses.replace(
             self.state, **{k: jnp.asarray(v) for k, v in d["state"].items()})
+        self._cnt_host = np.asarray(d["state"]["cnt"], np.int64).copy()
         for ch, (locked, synced, laa, cn0, pk, nav, hist) in zip(
                 self.channels, d["channels"]):
             ch.locked, ch.synced = locked, synced
@@ -395,6 +421,7 @@ class Receiver:
         device tracking pytree, and each channel's nav/observable state —
         the resume story SURVEY.md §5 specifies (the reference has none)."""
         import pickle
+        self.flush()
         with open(path, "wb") as f:
             pickle.dump(self._snapshot(), f)
 
@@ -417,25 +444,59 @@ class Receiver:
     def step_block(self) -> None:
         """Process one block: acquire, track, nav, observable history —
         and, when standalone, emit epochs.  Advances the stream cursor by
-        ``nsteps`` code periods."""
+        ``nsteps`` code periods.
+
+        In the steady state (every locked channel bit-synced, relock off,
+        ``pipeline=True``) the block is only DISPATCHED here; its nav/obs
+        host work happens on the next call, overlapped with that block's
+        device compute.  Call :meth:`flush` (run_seconds does) to finalize
+        the last in-flight block."""
         advance = self.nsteps * self.nsamp
-        block_np = self.frontend.read(self.base, self.block_len)
-        self._try_acquire(block_np)
+        self._try_acquire()
         if not any(ch.locked for ch in self.channels):
             self.base += advance
             return
-        cnt0 = np.asarray(self.state.cnt)
-        block = jnp.asarray(block_np)
         use_fast = (self.fast is not None
                     and self.nsteps % self.fast.L == 0
                     and all(ch.synced for ch in self.channels
                             if ch.locked))
-        eng = self.fast if use_fast else self.trk
-        self.state, out = eng.run_block(self.state, block, self.nsteps)
-        self._feed_nav_and_obs(out, cnt0)
-        self._emit_epochs()
+        pipelined = (use_fast and self.pipeline and not self.cfg.relock)
+        if not pipelined:
+            # the in-flight block (if any) may feed nav state the slow
+            # path depends on (bit sync of a just-acquired channel uses
+            # other channels only through the shared clock — but keep
+            # strict order regardless)
+            self.flush()
+        cnt0 = self._cnt_host.copy()
+        locked0 = [ch.locked for ch in self.channels]
+        block = self.cache.get(self.base, self.block_len)
+        if pipelined:
+            self.state, handle = self.fast.run_block_start(
+                self.state, block, self.nsteps)
+            prev = self._pending
+            self._pending = (handle, self.base, cnt0, locked0)
+            if prev is not None:
+                self._collect(*prev)
+        else:
+            eng = self.fast if use_fast else self.trk
+            self.state, out = eng.run_block(self.state, block, self.nsteps)
+            self._feed_nav_and_obs(out, cnt0, self.base, locked0)
+            self._emit_epochs()
+        self._cnt_host[np.asarray(locked0)] += self.nsteps
         self.state = self.trk.rebase(self.state, advance)
         self.base += advance
+
+    def _collect(self, handle, base: int, cnt0: np.ndarray,
+                 locked0: list[bool]) -> None:
+        out = self.fast.run_block_collect(handle)
+        self._feed_nav_and_obs(out, cnt0, base, locked0)
+        self._emit_epochs()
+
+    def flush(self) -> None:
+        """Finalize the in-flight pipelined block (no-op when none)."""
+        if self._pending is not None:
+            prev, self._pending = self._pending, None
+            self._collect(*prev)
 
     def _summary(self, t_start: float, nblocks: int) -> dict:
         wall = time.time() - t_start
@@ -460,6 +521,7 @@ class Receiver:
             nblocks += 1
             if progress:
                 progress(self.base / self.spec.f_sf)
+        self.flush()
         return self._summary(t_start, nblocks)
 
 
@@ -526,6 +588,8 @@ class DualReceiver:
 
     def save_checkpoint(self, path: str) -> None:
         import pickle
+        for r in self.rx:
+            r.flush()
         with open(path, "wb") as f:
             pickle.dump([r._snapshot() for r in self.rx], f)
 
@@ -550,6 +614,10 @@ class DualReceiver:
             nblocks += 1
             if progress:
                 progress(self.rx[0].base / self.rx[0].spec.f_sf)
+        for r in self.rx:
+            r.flush()
+        self.hub.emit_epochs(
+            [ci for r in self.rx for ci in r.collect_obs_inputs()])
         wall = time.time() - t_start
         samples = sum(r.base for r in self.rx)
         return dict(

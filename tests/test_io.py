@@ -169,3 +169,86 @@ def test_gn3s_v2_seam_free_reads(tmp_path):
             (signs if not shifted else signs[:-1]) & 1]
         assert np.array_equal(whole.ravel()[:len(exp) - 4],
                               exp[:len(exp) - 4])
+
+
+def test_device_block_cache_matches_direct(tmp_path):
+    """DeviceBlockCache.get must equal jnp.asarray(frontend.read(...)) for
+    every walk pattern the receiver produces (forward blocks with overlap,
+    segment boundaries, EOF zero-pad) and pick the narrowest exact dtype."""
+    import numpy as np
+    from gnsslib_tpu.constants import DType, FrontendType
+    from gnsslib_tpu.io.frontend import FileFrontend, FrontendSpec
+    from gnsslib_tpu.io.devcache import DeviceBlockCache
+
+    rng = np.random.default_rng(5)
+    raw = rng.integers(-128, 128, size=220000, endpoint=False).astype(np.int8)
+    p = tmp_path / "x.bin"
+    raw.tofile(p)
+    spec = FrontendSpec(fend=FrontendType.FILE, f_cf=1.57542e9, f_sf=4e6,
+                        f_if=1e6, dtype=DType.REAL)
+    fe = FileFrontend(str(p), spec)
+    blk = 5000
+    cache = DeviceBlockCache(fe, blk, seg_blocks=4)
+    for start in (0, 4096, 8192, 15000, 19999, 80000, 218000):
+        got = np.asarray(cache.get(start, blk))
+        want = fe.read(start, blk)
+        np.testing.assert_array_equal(got, want, err_msg=f"start={start}")
+    assert cache._np_dtype == np.int8
+
+    # IQ int8 file -> (n, 2), same contract
+    spec2 = FrontendSpec(fend=FrontendType.FILE, f_cf=1.57542e9, f_sf=4e6,
+                         f_if=0.0, dtype=DType.IQ)
+    fe2 = FileFrontend(str(p), spec2)
+    cache2 = DeviceBlockCache(fe2, blk, seg_blocks=3)
+    for start in (0, 7000, 100000):
+        np.testing.assert_array_equal(np.asarray(cache2.get(start, blk)),
+                                      fe2.read(start, blk))
+
+
+def test_device_block_cache_fallback_dtypes(tmp_path):
+    """Non-int8 alphabets: BladeRF SC16 -> int16, RTL-SDR -> float32."""
+    import numpy as np
+    from gnsslib_tpu.constants import DType, FrontendType
+    from gnsslib_tpu.io.frontend import FileFrontend, FrontendSpec
+    from gnsslib_tpu.io.devcache import DeviceBlockCache
+
+    rng = np.random.default_rng(6)
+    # SC16 Q11 interleaved I/Q little-endian
+    sc16 = rng.integers(-2048, 2048, size=40000).astype("<i2")
+    p = tmp_path / "b.bin"
+    sc16.tofile(p)
+    spec = FrontendSpec(fend=FrontendType.FBLADERF, f_cf=1.57542e9,
+                        f_sf=4e6, f_if=0.0, dtype=DType.IQ)
+    fe = FileFrontend(str(p), spec)
+    cache = DeviceBlockCache(fe, 3000, seg_blocks=3)
+    got = np.asarray(cache.get(100, 3000))
+    # BladeRF decode removes a PER-READ DC offset (bladerf.c:216-239), so
+    # the cache's contract is read-the-segment-then-slice (one consistent
+    # DC estimate per segment, closest to the reference's per-transfer
+    # calibration), not equality with an arbitrary-extent direct read
+    np.testing.assert_array_equal(got, fe.read(100, 9000)[:3000])
+    # u8-truncated SC16 happens to fit int8 after DC removal; either
+    # integer dtype is fine as long as the roundtrip above is exact
+    assert cache._np_dtype in (np.int8, np.int16)
+
+    ru8 = rng.integers(0, 256, size=40000).astype(np.uint8)
+    p2 = tmp_path / "r.bin"
+    ru8.tofile(p2)
+    spec2 = FrontendSpec(fend=FrontendType.FRTLSDR, f_cf=1.57542e9,
+                         f_sf=2.048e6, f_if=0.0, dtype=DType.IQ)
+    fe2 = FileFrontend(str(p2), spec2)
+    cache2 = DeviceBlockCache(fe2, 3000, seg_blocks=3)
+    np.testing.assert_array_equal(np.asarray(cache2.get(0, 3000)),
+                                  fe2.read(0, 3000))
+    # u8 - 127.5 is char-truncated like the reference -> integer alphabet
+    assert cache2._np_dtype == np.int8
+
+    # a frontend with a genuinely non-integer alphabet falls back to f32
+    class FracFE:
+        def read(self, start, n):
+            return (np.arange(start, start + n) % 7).astype(np.float32) / 2
+
+    cache3 = DeviceBlockCache(FracFE(), 3000, seg_blocks=3)
+    np.testing.assert_array_equal(np.asarray(cache3.get(10, 3000)),
+                                  FracFE().read(10, 3000))
+    assert cache3._np_dtype == np.float32

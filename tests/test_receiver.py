@@ -174,6 +174,46 @@ def test_doppler_sign_and_magnitude(ran_receiver):
         assert d == pytest.approx(500.0 + 100.0 * prn, abs=2.0)
 
 
+def test_pipelined_matches_sequential(if_file):
+    """Steady-state pipelining (dispatch block k+1 before processing
+    block k's telemetry) is a pure scheduling change: identical device
+    programs in the same order, so events, nav decodes, and epochs must
+    match the sequential receiver exactly."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from gnsslib_tpu.io.frontend import FileFrontend, FrontendSpec
+    from gnsslib_tpu.constants import FrontendType
+    from gnsslib_tpu.runtime.config import ReceiverConfig, ChannelConfig
+    from gnsslib_tpu.runtime.receiver import Receiver
+    from gnsslib_tpu.track.state import TrackConfig
+
+    tmp, path = if_file
+    spec = FrontendSpec(fend=FrontendType.FILE, f_cf=1.57542e9, f_sf=F_SF,
+                        f_if=F_IF, dtype=DType.REAL)
+
+    def mk(pipeline):
+        cfg = ReceiverConfig(
+            channels=[ChannelConfig(prn=3), ChannelConfig(prn=21)],
+            fends=[spec], files=[str(path)],
+            track=TrackConfig(corrn=4, corrd=2, corrp=2),
+            outms=400, rinex=False)
+        return Receiver(cfg, FileFrontend(str(path), spec),
+                        pipeline=pipeline)
+
+    rx_p = mk(True)
+    rx_s = mk(False)
+    rx_p.run_seconds(seconds=20.0)
+    rx_s.run_seconds(seconds=20.0)
+    assert rx_p._pending is None
+    assert rx_p.events == rx_s.events
+    assert rx_p.epochs_written == rx_s.epochs_written > 0
+    assert rx_p.ephs_written == rx_s.ephs_written
+    for cp, cs in zip(rx_p.channels, rx_s.channels):
+        assert cp.nav.flagdec == cs.nav.flagdec
+        assert cp.hist.nrec == cs.hist.nrec
+        np.testing.assert_array_equal(cp.hist.tow[:8], cs.hist.tow[:8])
+
+
 def test_checkpoint_resume(if_file):
     """Stop mid-stream, snapshot, resume in a fresh Receiver: identical
     RINEX-epoch production afterwards (SURVEY.md §5 resume story)."""

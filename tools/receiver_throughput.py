@@ -1,0 +1,123 @@
+"""Receiver-level throughput: the REAL `Receiver.run_seconds` loop —
+acquisition retries, device tracking, host nav framers, epoch alignment,
+RINEX-less output path — on a synthesized multi-satellite capture at the
+reference's 16.368 Msps post-processing envelope (frontend/iffile.ini).
+
+Unlike bench.py (FastTracker-only device throughput) this includes every
+host-side cost and the acquisition program for never-present PRNs, so it
+is the end-user streaming number.  Compares pipeline=True/False.
+
+The capture is cached under /tmp (3-4 min to synthesize once).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+F_SF = 16.368e6
+F_IF = 4.092e6
+SECONDS = 20.0
+NPRESENT = 12                      # satellites actually in the signal
+TOW0 = 352800.0
+CACHE = "/tmp/gnsslib_rxbench_l1ca_16m.bin"
+META = CACHE + ".json"
+
+
+def synthesize():
+    from gnsslib_tpu import sim
+    from gnsslib_tpu.constants import DType
+    meta = dict(f_sf=F_SF, f_if=F_IF, seconds=SECONDS, n=NPRESENT)
+    if os.path.exists(CACHE) and os.path.exists(META):
+        if json.load(open(META)) == meta:
+            return
+    chans = []
+    for prn in range(1, NPRESENT + 1):
+        eph = sim.example_eph(prn=prn, week=2200, toe_tow=TOW0)
+        frames = sim.lnav_bit_stream(eph, TOW0 + 6.0, nframes=4)
+        pad = np.concatenate([np.tile([1, -1], 149), [1, 1]]).astype(np.int8)
+        chans.append(sim.SimChannel(
+            prn=prn, doppler=250.0 * (prn % 13) - 1500.0,
+            code_phase=97.0 * prn, carr_phase=0.1 * prn,
+            nav_bits=np.concatenate([pad, frames])))
+    noise = sim.noise_std_for_cn0(1.0, 46.0, F_SF, DType.REAL)
+    n = int(SECONDS * F_SF)
+    t_start = time.time()
+    with open(CACHE + ".tmp", "wb") as f:
+        step = int(F_SF)
+        for t0 in range(0, n, step):
+            x = sim.synthesize(chans, F_SF, F_IF, DType.REAL,
+                               min(step, n - t0), noise_std=noise,
+                               seed=1000 + t0, t0=t0)
+            sim.quantize_int8(x, 16.0).tofile(f)
+            print(f"  synth {t0 / F_SF:4.0f}/{SECONDS:.0f} s "
+                  f"({time.time() - t_start:.0f} s)", flush=True)
+    os.replace(CACHE + ".tmp", CACHE)
+    json.dump(meta, open(META, "w"))
+
+
+def run(pipeline: bool, nsteps: int = 400) -> dict:
+    from gnsslib_tpu.constants import DType, FrontendType
+    from gnsslib_tpu.io.frontend import FileFrontend, FrontendSpec
+    from gnsslib_tpu.runtime.config import ReceiverConfig, ChannelConfig
+    from gnsslib_tpu.runtime.receiver import Receiver
+    from gnsslib_tpu.track.state import TrackConfig
+
+    spec = FrontendSpec(fend=FrontendType.FILE, f_cf=1.57542e9, f_sf=F_SF,
+                        f_if=F_IF, dtype=DType.REAL)
+    cfg = ReceiverConfig(
+        channels=[ChannelConfig(prn=p) for p in range(1, 33)],
+        fends=[spec], files=[CACHE],
+        track=TrackConfig(corrn=6, corrd=3, corrp=6),   # iffile.ini
+        outms=400, rinex=False)
+    rx = Receiver(cfg, FileFrontend(CACHE, spec), pipeline=pipeline,
+                  nsteps_per_block=nsteps)
+    # compile warmup: first block(s) hit acq + slow-track compiles; run
+    # one full pass, then measure a second pass on fresh receiver state
+    t0 = time.time()
+    s = rx.run_seconds()
+    print(f"  pass1 (compile) {time.time() - t0:.1f}s "
+          f"locked={len(s['locked'])} decoded={len(s['decoded'])} "
+          f"epochs={s['epochs']}")
+    rx2 = Receiver(cfg, FileFrontend(CACHE, spec), pipeline=pipeline,
+                   nsteps_per_block=nsteps)
+    # manual loop to split cold-start (acq + per-period pull-in scan, a
+    # fixed one-time cost) from steady-state streaming (the sustained
+    # production rate)
+    t0 = time.time()
+    t_steady = base_steady = None
+    end = rx2.end_sample()
+    nblocks = 0
+    while rx2.can_step(end):
+        rx2.step_block()
+        nblocks += 1
+        if t_steady is None and all(
+                ch.synced for ch in rx2.channels if ch.locked) and \
+                any(ch.locked for ch in rx2.channels):
+            t_steady, base_steady = time.time(), rx2.base
+    rx2.flush()
+    s = rx2._summary(t0, nblocks)
+    if t_steady is not None and rx2.base > base_steady:
+        s["msps_steady"] = ((rx2.base - base_steady) / 1e6
+                            / max(time.time() - t_steady, 1e-9))
+    s["label"] = ("pipelined" if pipeline else "sequential") + f"/{nsteps}"
+    return s
+
+
+def main():
+    synthesize()
+    for pipeline, nsteps in ((True, 400), (True, 2000), (False, 2000)):
+        s = run(pipeline, nsteps)
+        stdy = s.get("msps_steady")
+        stdy = f"steady {stdy:6.1f} ({stdy / 16.368:4.1f}x rt)" if stdy \
+            else ""
+        print(f"{s['label']:16s} {s['msps']:7.1f} Msps "
+              f"({s['msps'] / 16.368:4.1f}x real-time)  {stdy}  "
+              f"locked={len(s['locked'])} decoded={len(s['decoded'])} "
+              f"epochs={s['epochs']} ephs={s['ephs']}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
