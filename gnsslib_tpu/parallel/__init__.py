@@ -12,6 +12,8 @@ collectives are needed in steady state (channels are independent), and
 observable fan-in happens on the host (the sync-thread equivalent).
 """
 from .mesh import make_mesh
-from .sharded import ShardedAcquirer, ShardedTracker
+from .sharded import (ShardedAcquirer, ShardedFastTracker,
+                      ShardedTracker)
 
-__all__ = ["make_mesh", "ShardedAcquirer", "ShardedTracker"]
+__all__ = ["make_mesh", "ShardedAcquirer", "ShardedFastTracker",
+           "ShardedTracker"]

@@ -94,6 +94,80 @@ class ShardedTracker:
         return new_state, TrackOutputs(**outs)
 
 
+class ShardedFastTracker:
+    """Channel-sharded steady-state fast path: wraps a FastTracker the way
+    ShardedTracker wraps the per-period scan.  Consts, fconsts, and the
+    state pytree shard over the mesh channel axis; the IF block is
+    replicated; packed telemetry comes back (steps, channels)-sharded.
+    Supports the pipelined run_block_start/collect API, so the Receiver
+    can stream over a mesh exactly as on one chip."""
+
+    def __init__(self, fast, mesh: Mesh, axis: str = "ch"):
+        n = mesh.shape[axis]
+        if fast.trk.C % n:
+            raise ValueError(f"C={fast.trk.C} not divisible by mesh "
+                             f"axis {axis}={n}")
+        self.fast = fast
+        self.trk = fast.trk
+        self.L = fast.L
+        self.mesh = mesh
+        self.axis = axis
+        self._shard_ch = NamedSharding(mesh, P(axis))
+        shard = lambda t: jax.device_put(
+            t, jax.tree_util.tree_map(lambda _: self._shard_ch, t))
+        self._consts = shard(fast._consts)
+        self._fconsts = shard(fast._fconsts)
+        self._jit_cache = {}
+
+    # pass-throughs -------------------------------------------------------- #
+    def init_state(self) -> TrackState:
+        return self.trk.init_state()
+
+    def rebase(self, state, advance):
+        return self.trk.rebase(state, advance)
+
+    # sharded execution ---------------------------------------------------- #
+    def _sharded_fn(self, nsuper: int):
+        if nsuper in self._jit_cache:
+            return self._jit_cache[nsuper]
+        ax = self.axis
+
+        def local(carry, block, consts, fconsts):
+            carry, o = self.fast.run_steps(carry, block, consts, fconsts,
+                                           nsuper)
+            packf, packi = self.fast._pack(o)
+            return carry, packf, packi
+
+        fn = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(ax), P(), P(ax), P(ax)),
+            out_specs=(P(ax), P(None, ax), P(None, ax)))
+        jfn = jax.jit(fn)
+        self._jit_cache[nsuper] = jfn
+        return jfn
+
+    def run_block_start(self, state: TrackState, block, nsteps: int):
+        if nsteps % self.L:
+            raise ValueError(f"nsteps must be a multiple of L={self.L}")
+        import jax.numpy as jnp
+        carry = self.trk._state_to_dict(state)
+        carry = jax.device_put(
+            carry, jax.tree_util.tree_map(lambda _: self._shard_ch, carry))
+        carry, packf, packi = self._sharded_fn(nsteps // self.L)(
+            carry, jnp.asarray(block), self._consts, self._fconsts)
+        return self.trk._dict_to_state(carry, state), (packf, packi)
+
+    def run_block_collect(self, handle) -> TrackOutputs:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            handle = multihost_utils.process_allgather(handle, tiled=True)
+        return self.fast.run_block_collect(handle)
+
+    def run_block(self, state: TrackState, block, nsteps: int):
+        state, handle = self.run_block_start(state, block, nsteps)
+        return state, self.run_block_collect(handle)
+
+
 class ShardedAcquirer:
     """Channel-sharded acquisition: each device searches its PRN subset
     over the full Doppler grid (the (channels × Doppler) cold-start grid of

@@ -5,7 +5,8 @@ The pthread fan-out becomes one block-streamed pipeline: load IF block ->
 device acquisition/tracking programs -> host nav/observables/output.
 """
 from .config import ReceiverConfig, ChannelConfig, load_ini
-from .receiver import DualReceiver, OutputHub, Receiver
+from .receiver import (DualReceiver, MultiReceiver, OutputHub,
+                       Receiver, build_receiver)
 
 __all__ = ["ReceiverConfig", "ChannelConfig", "load_ini", "Receiver",
-           "DualReceiver", "OutputHub"]
+           "DualReceiver", "MultiReceiver", "OutputHub", "build_receiver"]

@@ -12,7 +12,7 @@ import sys
 
 from ..io.frontend import FileFrontend
 from .config import load_ini
-from .receiver import DualReceiver, Receiver
+from .receiver import build_receiver
 
 
 def _honor_jax_platforms() -> None:
@@ -41,6 +41,9 @@ def main(argv=None) -> int:
                     help="limit processing to the first N stream seconds")
     ap.add_argument("--nsteps", type=int, default=400,
                     help="code periods per device block")
+    ap.add_argument("--devices", type=int, default=1,
+                    help="shard channels over the first N jax devices "
+                         "(acquisition + tracking engines via shard_map)")
     ap.add_argument("--ftype", type=int, default=0,
                     help="front-end RF path to process (1 or 2; default "
                          "0 = every path with configured channels)")
@@ -83,11 +86,12 @@ def main(argv=None) -> int:
         fes.append(FileFrontend(path, cfg.fends[ft - 1]))
     spec = fes[0].spec
     fe = fes[0]
-    if dual:
-        rx = DualReceiver(cfg, fes, nsteps_per_block=args.nsteps)
-    else:
-        rx = Receiver(cfg, fe, ftype=use_ftypes[0],
-                      nsteps_per_block=args.nsteps)
+    mesh = None
+    if args.devices > 1:
+        from ..parallel import make_mesh
+        mesh = make_mesh(args.devices)
+    rx = build_receiver(cfg, dict(zip(use_ftypes, fes)),
+                        nsteps_per_block=args.nsteps, mesh=mesh)
     if args.resume:
         rx.load_checkpoint(args.resume)
 

@@ -164,7 +164,8 @@ class Receiver:
 
     def __init__(self, cfg: ReceiverConfig, frontend, ftype: int = 1,
                  nsteps_per_block: int = 400, hub: OutputHub | None = None,
-                 standalone: bool = True, pipeline: bool = True):
+                 standalone: bool = True, pipeline: bool = True,
+                 mesh=None, channels=None, cache=None):
         self.cfg = cfg
         self.frontend = frontend
         self.standalone = standalone
@@ -179,7 +180,8 @@ class Receiver:
         self._pending = None          # (handle, base, cnt0) of last block
         spec = cfg.fends[ftype - 1]
         self.spec = spec
-        chans = [c for c in cfg.channels if c.ftype == ftype]
+        chans = (list(channels) if channels is not None else
+                 [c for c in cfg.channels if c.ftype == ftype])
         if not chans:
             raise ValueError("no channels for this front end")
         self.prns = [c.prn for c in chans]
@@ -200,6 +202,18 @@ class Receiver:
             self.fast = FastTracker(self.trk)
         except ValueError:
             self.fast = None
+        # multi-chip: channel-sharded engines over a jax mesh (SPMD, no
+        # collectives in steady state — SURVEY.md §2.4); host nav/obs and
+        # the stream cursor are unchanged
+        self._slow_eng, self._fast_eng, self._acq_search = \
+            self.trk, self.fast, self.acq.search
+        if mesh is not None:
+            from ..parallel import (ShardedAcquirer, ShardedFastTracker,
+                                    ShardedTracker)
+            self._slow_eng = ShardedTracker(self.trk, mesh)
+            self._acq_search = ShardedAcquirer(self.acq, mesh).search
+            if self.fast is not None:
+                self._fast_eng = ShardedFastTracker(self.fast, mesh)
         self.state = self.trk.init_state()
         self.nsamp = self.trk.n_nom
         self.nsteps = int(nsteps_per_block)
@@ -207,8 +221,13 @@ class Receiver:
                           + NSPAN * self.nsteps + 2 * self.nsamp + 64)
         # device-resident sample segments: each sample crosses the
         # host->device boundary once, in its narrowest exact dtype; blocks
-        # are cut on-device (io/devcache.py)
-        self.cache = DeviceBlockCache(frontend, self.block_len)
+        # are cut on-device (io/devcache.py).  Channel groups sharing one
+        # front end (cadence split, see build_receiver) share the cache so
+        # the segment is uploaded once.
+        if cache is not None and cache.block_len == self.block_len:
+            self.cache = cache
+        else:
+            self.cache = DeviceBlockCache(frontend, self.block_len)
         self.base = 0                      # abs sample index of block start
         self.channels = []
         for i, c in enumerate(chans):
@@ -239,6 +258,10 @@ class Receiver:
                     cfg.logpath, sid, cfg.track.corrn, cfg.track.corrd,
                     float(self.trk.crate[ch.idx]), spec.f_if)
         self.events = []
+        # composite receivers (MultiReceiver) set this to the merged
+        # channel list, so cross-channel lookups (the SBAS week borrow,
+        # src/sdrnav_sbs.c:124-127) see every group's channels
+        self.peer_channels = None
 
     # hub delegation (external API stability) ---------------------------- #
     @property
@@ -265,7 +288,7 @@ class Receiver:
         if not pend:
             return
         need = (self.acq.intg + 2) * self.nsamp
-        res = self.acq.search(self.frontend.read(self.base, need))
+        res = self._acq_search(self.frontend.read(self.base, need))
         for ch in pend:
             i = ch.idx
             ch.last_acq_attempt = t_stream
@@ -333,7 +356,7 @@ class Receiver:
             return
         sb = ch.nav.sbas
         if sb.week == 0:
-            for other in self.channels:
+            for other in (self.peer_channels or self.channels):
                 if other.nav.flagdec and other.nav.eph.week_gpst:
                     sb.week = other.nav.eph.week_gpst
                     sb.tow = other.hist.tow[0]
@@ -471,14 +494,14 @@ class Receiver:
         locked0 = [ch.locked for ch in self.channels]
         block = self.cache.get(self.base, self.block_len)
         if pipelined:
-            self.state, handle = self.fast.run_block_start(
+            self.state, handle = self._fast_eng.run_block_start(
                 self.state, block, self.nsteps)
             prev = self._pending
             self._pending = (handle, self.base, cnt0, locked0)
             if prev is not None:
                 self._collect(*prev)
         else:
-            eng = self.fast if use_fast else self.trk
+            eng = self._fast_eng if use_fast else self._slow_eng
             self.state, out = eng.run_block(self.state, block, self.nsteps)
             self._feed_nav_and_obs(out, cnt0, self.base, locked0)
             self._emit_epochs()
@@ -488,7 +511,7 @@ class Receiver:
 
     def _collect(self, handle, base: int, cnt0: np.ndarray,
                  locked0: list[bool]) -> None:
-        out = self.fast.run_block_collect(handle)
+        out = self._fast_eng.run_block_collect(handle)
         self._feed_nav_and_obs(out, cnt0, base, locked0)
         self._emit_epochs()
 
@@ -525,40 +548,48 @@ class Receiver:
         return self._summary(t_start, nblocks)
 
 
-class DualReceiver:
-    """Both RF paths of a dual front end in one run (STEREO FE1+FE2, e.g.
-    L1CA + GLONASS G1 — reference sdrmain.c starts channel threads across
-    both paths and one sync thread merges them).
+class MultiReceiver:
+    """Several per-group receivers stepped in lockstep with one shared
+    :class:`OutputHub`, so common epochs combine every group's channels
+    (the reference's single sync thread over all channel threads,
+    src/sdrsync.c:49-135).  Groups arise from:
 
-    The two per-path receivers share one :class:`OutputHub`, so common
-    epochs combine channels from both paths: the paths are sample-
-    synchronous (one capture clock; for packed STEREO both live in the
-    same byte stream), and the epoch aligner anchors in receiver time
-    rather than raw sample counts, so differing per-path sample rates
-    are handled.
+    * **RF paths** (STEREO FE1+FE2 — the classic dual front end), and/or
+    * **loop-cadence classes** within one path: the FastTracker needs one
+      uniform update interval, so e.g. SBAS (``loop``=2) channels get
+      their own tracker group and the GPS/GLONASS (``loop``=10) group
+      keeps the steady-state fast path instead of everyone falling back
+      to the per-period scan.
 
-    Blocks are stepped in lockstep — the per-path ``nsteps`` are scaled
-    so each block spans the same stream time on both paths.
+    Same-path groups share the device sample cache (one upload).  Blocks
+    are stepped in lockstep; per-group ``nsteps`` must span equal stream
+    time.
     """
 
-    def __init__(self, cfg: ReceiverConfig, frontends: list,
-                 nsteps_per_block: int = 400):
+    def __init__(self, cfg: ReceiverConfig, parts: list,
+                 nsteps_per_block: int = 400, mesh=None):
+        """``parts``: list of (ftype, frontend, channel_subset)."""
         self.cfg = cfg
         self.hub = OutputHub(cfg)
-        ftypes = sorted({c.ftype for c in cfg.channels})
-        if len(ftypes) < 2:
-            raise ValueError("DualReceiver needs channels on two FTYPEs")
-        self.rx = [Receiver(cfg, fe, ftype=ft,
-                            nsteps_per_block=nsteps_per_block,
-                            hub=self.hub, standalone=False)
-                   for ft, fe in zip(ftypes, frontends)]
+        self.rx = []
+        caches = {}
+        for ft, fe, chans in parts:
+            r = Receiver(cfg, fe, ftype=ft,
+                         nsteps_per_block=nsteps_per_block,
+                         hub=self.hub, standalone=False, mesh=mesh,
+                         channels=chans, cache=caches.get(id(fe)))
+            caches.setdefault(id(fe), r.cache)
+            self.rx.append(r)
+        merged = [ch for r in self.rx for ch in r.channels]
+        for r in self.rx:
+            r.peer_channels = merged
         t0 = self.rx[0].nsteps * self.rx[0].nsamp / self.rx[0].spec.f_sf
         for r in self.rx[1:]:
             t = r.nsteps * r.nsamp / r.spec.f_sf
             if abs(t - t0) > 1e-12:
-                raise ValueError("front-end block durations differ "
+                raise ValueError("group block durations differ "
                                  f"({t0} vs {t}); use code periods with "
-                                 "equal duration across paths")
+                                 "equal duration across groups")
 
     @property
     def epochs_written(self) -> int:
@@ -631,3 +662,52 @@ class DualReceiver:
                      if ch.nav.flagdec],
             epochs=self.hub.epochs_written, ephs=self.hub.ephs_written,
         )
+
+
+class DualReceiver(MultiReceiver):
+    """Both RF paths of a dual front end (STEREO FE1+FE2) — kept as the
+    named two-path special case of :class:`MultiReceiver`."""
+
+    def __init__(self, cfg: ReceiverConfig, frontends: list,
+                 nsteps_per_block: int = 400, mesh=None):
+        ftypes = sorted({c.ftype for c in cfg.channels})
+        if len(ftypes) < 2:
+            raise ValueError("DualReceiver needs channels on two FTYPEs")
+        parts = [(ft, fe, [c for c in cfg.channels if c.ftype == ft])
+                 for ft, fe in zip(ftypes, frontends)]
+        super().__init__(cfg, parts, nsteps_per_block, mesh)
+
+
+def build_receiver(cfg: ReceiverConfig, frontends, nsteps_per_block=400,
+                   mesh=None, pipeline=True):
+    """Compose the right receiver for a config: channels are grouped by
+    (RF path, loop cadence); a single homogeneous group gets a plain
+    :class:`Receiver`, anything else a :class:`MultiReceiver`.
+
+    ``frontends``: a {ftype: frontend} dict, or a list paired with the
+    configured FTYPEs in sorted order (a single frontend is accepted).
+    """
+    if isinstance(frontends, dict):
+        fmap = dict(frontends)
+    else:
+        if not isinstance(frontends, (list, tuple)):
+            frontends = [frontends]
+        fts = sorted({c.ftype for c in cfg.channels})[:len(frontends)]
+        fmap = dict(zip(fts, frontends))
+    parts = []
+    for ft in sorted(fmap):
+        fe = fmap[ft]
+        chans = [c for c in cfg.channels if c.ftype == ft]
+        if not chans:
+            continue
+        by_loop = {}
+        for c in chans:
+            by_loop.setdefault(loop_interval(c.ctype), []).append(c)
+        for _, grp in sorted(by_loop.items()):
+            parts.append((ft, fe, grp))
+    if len(parts) == 1:
+        ft, fe, grp = parts[0]
+        return Receiver(cfg, fe, ftype=ft,
+                        nsteps_per_block=nsteps_per_block,
+                        pipeline=pipeline, mesh=mesh, channels=grp)
+    return MultiReceiver(cfg, parts, nsteps_per_block, mesh)

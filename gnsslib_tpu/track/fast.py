@@ -321,7 +321,7 @@ class FastTracker:
         [1] measured on v5e: one-hot 3.28 ms/step, take 0.74, fused
             correlator alone 0.67; a Pallas scalar-prefetch row DMA was
             7.6 ms/step (per-row DMAs dispatch serially)."""
-        C, L = self.C, self.L
+        C, L = q_idx.shape            # local C under shard_map
         Q = self.trk._tbl_q
         W = consts["table"].shape[-1]
         row_idx = (jnp.arange(C, dtype=jnp.int32)[:, None] * Q
@@ -471,7 +471,7 @@ class FastTracker:
             geo = jax.vmap(functools.partial(self._geo_only, block)
                            )(consts, fconsts, st)
             rc = self._replica_rows(consts, geo["q_idx"])    # (C*L, next)
-            C, L = self.C, self.L
+            C, L = geo["q_idx"].shape    # local C under shard_map
             B = C * L
             if self.corr == "diag":
                 winr = self._fetch_windows(block2,
@@ -535,7 +535,7 @@ class FastTracker:
                 cur_q = z2[..., 0::2]
                 cur_i = z2[..., 1::2]
             else:
-                geo["rc"] = rc.reshape(self.C, self.L, self.next)
+                geo["rc"] = rc.reshape(C, L, self.next)
                 geo["win"] = winf.reshape((C, L) + winf.shape[1:])
                 cur_i, cur_q = jax.vmap(self._taps_xla)(consts, geo, st)
 
@@ -548,9 +548,7 @@ class FastTracker:
             return jax.vmap(one)(consts, fconsts, st, geo, cur_i, cur_q)
         return jax.lax.scan(step, carry, None, length=nsuper)
 
-    @functools.partial(jax.jit, static_argnums=(0, 5))
-    def _run(self, carry, block, consts, fconsts, nsuper: int):
-        carry, o = self.run_steps(carry, block, consts, fconsts, nsuper)
+    def _pack(self, o):
         # pack the telemetry into ONE f32 + ONE i32 array: each device_get
         # through the TPU relay is a round trip, and 17 small fetches per
         # block cost more than the arrays themselves (measured 45 ms per
@@ -564,6 +562,12 @@ class FastTracker:
              col(o["code_nco"])], axis=-1)
         packi = jnp.concatenate(
             [o["loc"], col(o["k_c"]), col(o["n_u"])], axis=-1)
+        return packf, packi
+
+    @functools.partial(jax.jit, static_argnums=(0, 5))
+    def _run(self, carry, block, consts, fconsts, nsuper: int):
+        carry, o = self.run_steps(carry, block, consts, fconsts, nsuper)
+        packf, packi = self._pack(o)
         return carry, packf, packi
 
     def _unpack(self, packf, packi):
@@ -614,7 +618,8 @@ class FastTracker:
         """Fetch + unpack a run_block_start handle into TrackOutputs."""
         o = self._unpack(*jax.device_get(handle))
         S = o["k_c"].shape[0]
-        L, C, taps = self.L, self.C, self.cfg.ntaps
+        L, taps = self.L, self.cfg.ntaps
+        C = o["k_c"].shape[1]
 
         def tolinear(a):
             a = np.moveaxis(a, 2, 1)            # (S, L, C, ...)

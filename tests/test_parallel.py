@@ -60,3 +60,93 @@ def test_sharded_acquirer_matches_single():
     np.testing.assert_array_equal(ra.freqi, rb.freqi)
     np.testing.assert_allclose(ra.cn0, rb.cn0, rtol=1e-4)
     np.testing.assert_array_equal(ra.acquired, rb.acquired)
+
+
+def test_sharded_fast_tracker_matches_single():
+    """Steady-state fast path over the mesh == single-device FastTracker
+    (channels are independent; consts/fconsts/state shard cleanly)."""
+    from gnsslib_tpu.parallel import ShardedFastTracker
+    from gnsslib_tpu.track import FastTracker
+
+    cfg = TrackConfig(corrn=1, corrd=1, corrp=1)
+    prns = list(range(1, C + 1))
+    trk = Tracker(cfg, prns, [CodeType.L1CA] * C, F_SF, F_IF, DType.REAL)
+    fast = FastTracker(trk, use_pallas=False)
+    mesh = make_mesh(8)
+    sfast = ShardedFastTracker(fast, mesh)
+    nsteps = 40                       # 4 super-steps of L=10
+    data = _signal(nsteps * trk.n_nom + trk.nwin + 8 * nsteps + 3000)
+    block = jnp.asarray(data)
+    st0 = trk.init_state()
+    st0 = trk.start_channels(st0, list(range(C)), [10 * p for p in prns],
+                             [100.0 * p - 400.0 for p in prns])
+    for c in range(C):
+        st0 = trk.set_bit_sync(st0, c, c % 10)
+    st_a, out_a = fast.run_block(st0, block, nsteps)
+    st_b, out_b = sfast.run_block(st0, block, nsteps)
+    np.testing.assert_allclose(out_a.ip, out_b.ip, rtol=1e-5, atol=1e-3)
+    np.testing.assert_array_equal(out_a.loc, out_b.loc)
+    np.testing.assert_array_equal(out_a.flagloopfilter,
+                                  out_b.flagloopfilter)
+    np.testing.assert_allclose(out_a.dcarr, out_b.dcarr, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_a.remcode),
+                               np.asarray(st_b.remcode), atol=1e-6)
+
+    # pipelined API: dispatch two blocks, collect in order
+    st1, h1 = sfast.run_block_start(st0, block, nsteps)
+    st1 = sfast.rebase(st1, 0)
+    st2, h2 = sfast.run_block_start(st1, block, nsteps)
+    o1 = sfast.run_block_collect(h1)
+    o2 = sfast.run_block_collect(h2)
+    np.testing.assert_allclose(o1.ip, out_a.ip, rtol=1e-5, atol=1e-3)
+    assert o2.ip.shape == out_a.ip.shape
+
+
+def test_receiver_over_mesh_matches_single(tmp_path):
+    """Full Receiver with mesh=: channel-sharded acq + slow + fast engines
+    produce the same events and epochs as the single-device receiver."""
+    from gnsslib_tpu.constants import FrontendType
+    from gnsslib_tpu.io.frontend import FileFrontend, FrontendSpec
+    from gnsslib_tpu.runtime.config import ReceiverConfig, ChannelConfig
+    from gnsslib_tpu.runtime.receiver import Receiver
+    from gnsslib_tpu.track.state import TrackConfig
+
+    f_sf, f_if = 4.092e6, 1.023e6
+    prns = [2, 5, 9, 12]
+    chans = []
+    for p in prns:
+        eph = sim.example_eph(prn=p, week=2200, toe_tow=352800.0)
+        frames = sim.lnav_bit_stream(eph, 352806.0, nframes=2)
+        pad = np.concatenate([np.tile([1, -1], 149), [1, 1]]).astype(np.int8)
+        chans.append(sim.SimChannel(
+            prn=p, doppler=300.0 * p - 1500.0, code_phase=40.0 * p,
+            nav_bits=np.concatenate([pad, frames])))
+    noise = sim.noise_std_for_cn0(1.0, 46.0, f_sf, DType.REAL)
+    n = int(9.0 * f_sf)
+    path = tmp_path / "m.bin"
+    with open(path, "wb") as f:
+        step = int(f_sf)
+        for t0 in range(0, n, step):
+            x = sim.synthesize(chans, f_sf, f_if, DType.REAL,
+                               min(step, n - t0), noise_std=noise,
+                               seed=77 + t0, t0=t0)
+            sim.quantize_int8(x, 16.0).tofile(f)
+
+    spec = FrontendSpec(fend=FrontendType.FILE, f_cf=1.57542e9, f_sf=f_sf,
+                        f_if=f_if, dtype=DType.REAL)
+
+    def mk(mesh):
+        cfg = ReceiverConfig(
+            channels=[ChannelConfig(prn=p) for p in prns],
+            fends=[spec], files=[str(path)],
+            track=TrackConfig(corrn=4, corrd=2, corrp=2),
+            outms=400, rinex=False)
+        return Receiver(cfg, FileFrontend(str(path), spec), mesh=mesh)
+
+    rx_m = mk(make_mesh(4))
+    rx_s = mk(None)
+    rx_m.run_seconds()
+    rx_s.run_seconds()
+    assert [e[:3] for e in rx_m.events] == [e[:3] for e in rx_s.events]
+    assert rx_m.epochs_written == rx_s.epochs_written
+    assert sorted(ch.cfg.prn for ch in rx_m.channels if ch.locked) == prns

@@ -254,3 +254,48 @@ def test_checkpoint_resume(if_file):
     e_full = [ch.nav.eph.eph.iode for ch in rx_full.channels]
     e_b = [ch.nav.eph.eph.iode for ch in rx_b.channels]
     assert e_full == e_b
+
+
+def test_build_receiver_cadence_groups():
+    """Mixed loop-cadence configs (GPS loop=10 + SBAS loop=2) split into
+    tracker groups so the GPS group keeps the steady-state fast path; a
+    homogeneous GPS+GLONASS config stays one group (both loop=10)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from gnsslib_tpu.constants import CodeType, FrontendType, SYS_SBS, \
+        SYS_GLO
+    from gnsslib_tpu.io.frontend import FileFrontend, FrontendSpec
+    from gnsslib_tpu.runtime.config import ReceiverConfig, ChannelConfig
+    from gnsslib_tpu.runtime.receiver import (MultiReceiver, Receiver,
+                                              build_receiver)
+    from gnsslib_tpu.track.state import TrackConfig
+    import numpy as np, tempfile, os
+
+    tmp = tempfile.mkdtemp()
+    path = os.path.join(tmp, "z.bin")
+    np.zeros(400000, np.int8).tofile(path)
+    spec = FrontendSpec(fend=FrontendType.FILE, f_cf=1.57542e9,
+                        f_sf=4.092e6, f_if=1.023e6, dtype=DType.REAL)
+
+    def cfg(chans):
+        return ReceiverConfig(channels=chans, fends=[spec],
+                              files=[path], track=TrackConfig(),
+                              outms=400, rinex=False)
+
+    fe = FileFrontend(path, spec)
+    mixed = cfg([ChannelConfig(prn=7),
+                 ChannelConfig(prn=129, sys=SYS_SBS,
+                               ctype=CodeType.L1SBAS)])
+    rx = build_receiver(mixed, fe)
+    assert isinstance(rx, MultiReceiver) and len(rx.rx) == 2
+    fasts = [r.fast is not None for r in rx.rx]
+    assert any(fasts), "GPS/loop=10 group must keep the fast path"
+    # groups share one device sample cache (single upload per segment)
+    assert rx.rx[0].cache is rx.rx[1].cache
+    # cross-group channel visibility for the SBAS week borrow
+    assert len(rx.rx[0].peer_channels) == 2
+
+    homog = cfg([ChannelConfig(prn=7),
+                 ChannelConfig(prn=3, sys=SYS_GLO, ctype=CodeType.G1)])
+    rx2 = build_receiver(homog, fe)
+    assert isinstance(rx2, Receiver) and rx2.fast is not None
