@@ -58,11 +58,23 @@ def worker(pid: int) -> int:
                             [100.0 * (i % 5) for i in range(C)])
     nsteps = 50
     st, out = strk.run_block(st, jnp.asarray(data), nsteps)
+
+    # steady-state fast path over the same global mesh
+    from gnsslib_tpu.parallel import ShardedFastTracker
+    from gnsslib_tpu.track import FastTracker
+    fast = FastTracker(trk, use_pallas=False)
+    sfast = ShardedFastTracker(fast, mesh)
+    for c in range(C):
+        st = trk.set_bit_sync(st, c, c % 10)
+    st = trk.rebase(st, 0)
+    st, outf = sfast.run_block(st, jnp.asarray(data), fast.L)
+    assert outf.ip.shape == (fast.L, C), outf.ip.shape
     if is_output_host():
         print(f"[demo] {jax.process_count()} processes x "
               f"{ndev // NPROC} local devices, C={C} channels sharded; "
               f"tracked {nsteps} periods; mean |IP| = "
-              f"{float(np.mean(np.abs(out.ip))):.1f}  -> MULTIHOST OK",
+              f"{float(np.mean(np.abs(out.ip))):.1f}; fast-path super-step "
+              f"out {outf.ip.shape}  -> MULTIHOST OK",
               flush=True)
     return 0
 
