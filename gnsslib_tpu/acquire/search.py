@@ -208,23 +208,20 @@ class Acquirer:
         return self.check_impl(P, nsampchip)
 
     # -- host API --------------------------------------------------------------
-    def search(self, data: np.ndarray) -> AcqResult:
-        """Run a full acquisition over (intg+1) ms of samples.
-
-        ``data``: (n,) float32 real, (n, 2) float32 stacked I/Q, or (n,)
-        complex (converted host-side) with at least (intg+1)*nsamp samples,
-        starting at the abs sample index the caller tracks (the reference
-        reads the latest (intg+1) ms, src/sdracq.c:25).
-        """
+    def stack_rounds(self, data: np.ndarray) -> np.ndarray:
+        """(n[, 2]) samples -> (intg, 2*nsamp[, 2]) overlapping windows
+        (complex input converted to stacked I/Q host-side)."""
         data = np.asarray(data)
         if np.iscomplexobj(data):
             data = np.stack([data.real, data.imag], axis=-1)
         data = data.astype(np.float32)
         nwin = 2 * self.nsamp
-        rounds = np.stack([data[r * self.nsamp: r * self.nsamp + nwin]
-                           for r in range(self.intg)])
-        P, codei, freqi, cn0, peakr, confirmed = self._search(
-            jnp.asarray(rounds), self._consts)
+        return np.stack([data[r * self.nsamp: r * self.nsamp + nwin]
+                         for r in range(self.intg)])
+
+    def postprocess(self, codei, freqi, cn0, peakr, confirmed) -> AcqResult:
+        """Device decision vectors -> AcqResult (shared with the sharded
+        wrapper so acceptance rules live in exactly one place)."""
         codei = np.asarray(codei)
         freqi = np.asarray(freqi)
         cn0 = np.asarray(cn0)
@@ -238,3 +235,15 @@ class Acquirer:
         return AcqResult(acquired=acquired, codei=codei,
                          freqi=freqi, acqfreq=acqfreq, dcarr=dcarr,
                          cn0=cn0, peakr=peakr, confirmed=confirmed)
+
+    def search(self, data: np.ndarray) -> AcqResult:
+        """Run a full acquisition over (intg+1) ms of samples.
+
+        ``data``: (n,) float32 real, (n, 2) float32 stacked I/Q, or (n,)
+        complex (converted host-side) with at least (intg+1)*nsamp samples,
+        starting at the abs sample index the caller tracks (the reference
+        reads the latest (intg+1) ms, src/sdracq.c:25).
+        """
+        P, codei, freqi, cn0, peakr, confirmed = self._search(
+            jnp.asarray(self.stack_rounds(data)), self._consts)
+        return self.postprocess(codei, freqi, cn0, peakr, confirmed)

@@ -73,21 +73,25 @@ class DeviceBlockCache:
         self._next = None             # (start, Future[device array])
 
     def _compress(self, x: np.ndarray) -> np.ndarray:
-        """Narrowest exact host dtype for the decoded samples (decided
-        once on the first segment, then trusted: one front end = one
-        alphabet)."""
-        if self._np_dtype is None:
-            if x.dtype in (np.int8, np.int16):
-                self._np_dtype = x.dtype.type
-                return x
-            for dt in (np.int8, np.int16):
-                xi = x.astype(dt)
-                if np.array_equal(xi.astype(np.float32), x):
-                    self._np_dtype = dt
-                    break
-            else:
-                self._np_dtype = np.float32
-        return x.astype(self._np_dtype, copy=False)
+        """Narrowest exact host dtype for the decoded samples.  Checked
+        per SEGMENT with monotone widening: a later segment whose values
+        exceed the first segment's range (e.g. BladeRF AGC settling)
+        widens the dtype instead of silently wrapping.  Widening changes
+        the cached array dtype, which just recompiles the tiny _slice
+        program once."""
+        if x.dtype in (np.int8, np.int16):
+            self._np_dtype = x.dtype.type  # raw integer read — already exact
+            return x
+        order = [np.int8, np.int16, np.float32]
+        start = 0 if self._np_dtype is None else \
+            order.index(self._np_dtype)
+        for dt in order[start:-1]:
+            xi = x.astype(dt)
+            if np.array_equal(xi.astype(np.float32), x):
+                self._np_dtype = dt
+                return xi
+        self._np_dtype = np.float32
+        return x.astype(np.float32, copy=False)
 
     def _load(self, start: int):
         read = getattr(self.fe, "read_narrow", self.fe.read)
@@ -119,7 +123,11 @@ class DeviceBlockCache:
             self._upload(start)
         if self._exec is not None and self._next is None and \
                 start + 3 * self.block_len > self._start + self.seg_len:
-            # the earliest possible next miss is one block before the end
+            # the earliest possible next miss is one block before the end;
+            # skip when the current segment already reaches end-of-stream
+            # (the prefetched segment would be EOF zero-pad nobody reads)
             nstart = self._start + self.seg_len - self.block_len
-            self._next = (nstart, self._exec.submit(self._load, nstart))
+            total = getattr(self.fe, "nsamples", None)
+            if total is None or nstart + self.block_len <= total:
+                self._next = (nstart, self._exec.submit(self._load, nstart))
         return self._slice(self._seg, start - self._start)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import threading
 
 import numpy as np
 
@@ -87,6 +88,9 @@ class FileFrontend:
         self.spec = spec
         self.bps = _bytes_per_sample(spec)
         self._fp = open(path, "rb")
+        # the device cache's prefetch worker reads concurrently with the
+        # receiver's acquisition reads; seek+read must be atomic per call
+        self._lock = threading.Lock()
         self.nbytes = os.fstat(self._fp.fileno()).st_size
         self._byte0 = 0
         if spec.fend in (FrontendType.GN3SV2, FrontendType.FGN3SV2):
@@ -114,8 +118,9 @@ class FileFrontend:
         driver checks ``eof_at`` to stop cleanly)."""
         if start < 0:
             raise ValueError("negative sample index")
-        self._fp.seek(self._byte0 + start * self.bps)
-        raw = self._fp.read(n * self.bps)
+        with self._lock:
+            self._fp.seek(self._byte0 + start * self.bps)
+            raw = self._fp.read(n * self.bps)
         got = len(raw) // self.bps
         x = _unpack(self.spec, raw[:got * self.bps])
         if got < n:
@@ -130,8 +135,9 @@ class FileFrontend:
         the 4x-larger float materialization saves host time and memory on
         every segment upload.  Other formats fall back to ``read``."""
         if self.spec.fend == FrontendType.FILE:
-            self._fp.seek(self._byte0 + start * self.bps)
-            raw = np.frombuffer(self._fp.read(n * self.bps), np.int8)
+            with self._lock:
+                self._fp.seek(self._byte0 + start * self.bps)
+                raw = np.frombuffer(self._fp.read(n * self.bps), np.int8)
             got = len(raw) // self.bps
             x = raw[:got * self.bps]
             if self.spec.dtype == DType.IQ:

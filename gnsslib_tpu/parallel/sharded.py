@@ -199,26 +199,6 @@ class ShardedAcquirer:
 
     def search(self, data: np.ndarray) -> AcqResult:
         import jax.numpy as jnp
-        data = np.asarray(data)
-        if np.iscomplexobj(data):
-            data = np.stack([data.real, data.imag], axis=-1)
-        data = data.astype(np.float32)
-        nwin = 2 * self.acq.nsamp
-        rounds = np.stack([data[r * self.acq.nsamp:
-                                r * self.acq.nsamp + nwin]
-                           for r in range(self.acq.intg)])
         _, codei, freqi, cn0, peakr, confirmed = self._fn(
-            jnp.asarray(rounds), self._consts)
-        codei = np.asarray(codei)
-        freqi = np.asarray(freqi)
-        cn0 = np.asarray(cn0)
-        peakr = np.asarray(peakr)
-        confirmed = np.asarray(confirmed)
-        acqfreq = self.acq.freqs_abs[np.arange(self.acq.C), freqi]
-        dcarr = self.acq.dopp_hz[freqi]
-        acquired = peakr > self.acq.thresh
-        if self.acq.confirm:
-            acquired = acquired & confirmed
-        return AcqResult(acquired=acquired, codei=codei,
-                         freqi=freqi, acqfreq=acqfreq, dcarr=dcarr,
-                         cn0=cn0, peakr=peakr, confirmed=confirmed)
+            jnp.asarray(self.acq.stack_rounds(data)), self._consts)
+        return self.acq.postprocess(codei, freqi, cn0, peakr, confirmed)

@@ -486,24 +486,15 @@ class FastTracker:
                       ).reshape(C, L, -1)
                 cur_q = z2[..., 0::2]
                 cur_i = z2[..., 1::2]
-
-                def one(cc, fcc, stc, geoc, ci_, cq_):
-                    new, out = self._filter(cc, fcc, stc, geoc, ci_, cq_)
-                    act = stc["active"]
-                    merged = {k: jnp.where(act, new[k], stc[k])
-                              if k in new else stc[k] for k in stc}
-                    return merged, out
-                return jax.vmap(one)(consts, fconsts, st, geo,
-                                     cur_i, cur_q)
-            winf = self._fetch_windows(block2,
-                                       geo["wstart"].reshape(B))
-            if self.use_pallas:
+            elif self.use_pallas:
                 # flat (C*L) batch through the fused VMEM kernel:
                 # 16 windows per grid cell, bf16 windows (exact for the
                 # 8-bit front-end sample alphabet), int8 replica rows,
                 # bf16 tap math with f32 accumulation — half the window
                 # stream and a quarter of the replica stream vs f32
                 from ..ops.pallas_corr import correlate_windows16_impl
+                winf = self._fetch_windows(block2,
+                                           geo["wstart"].reshape(B))
                 win = winf.astype(jnp.bfloat16)
                 pad = (-B) % 16
                 ftot = jnp.broadcast_to(
@@ -535,6 +526,8 @@ class FastTracker:
                 cur_q = z2[..., 0::2]
                 cur_i = z2[..., 1::2]
             else:
+                winf = self._fetch_windows(block2,
+                                           geo["wstart"].reshape(B))
                 geo["rc"] = rc.reshape(C, L, self.next)
                 geo["win"] = winf.reshape((C, L) + winf.shape[1:])
                 cur_i, cur_q = jax.vmap(self._taps_xla)(consts, geo, st)

@@ -252,3 +252,26 @@ def test_device_block_cache_fallback_dtypes(tmp_path):
     np.testing.assert_array_equal(np.asarray(cache3.get(10, 3000)),
                                   FracFE().read(10, 3000))
     assert cache3._np_dtype == np.float32
+
+
+def test_device_block_cache_widens_dtype_mid_stream():
+    """A later segment whose values exceed the first segment's range must
+    widen the cache dtype (not wrap): e.g. BladeRF AGC settling."""
+    import numpy as np
+    from gnsslib_tpu.io.devcache import DeviceBlockCache
+
+    class FE:
+        nsamples = 30000
+
+        def read(self, start, n):
+            i = np.arange(start, start + n)
+            x = (i % 100).astype(np.float32)
+            return np.where(i >= 9000, x * 40.0, x)   # late values: int16
+
+    cache = DeviceBlockCache(FE(), 3000, seg_blocks=3, prefetch=False)
+    got0 = np.asarray(cache.get(0, 3000))
+    np.testing.assert_array_equal(got0, FE().read(0, 3000))
+    assert cache._np_dtype == np.int8
+    got2 = np.asarray(cache.get(9000, 3000))
+    np.testing.assert_array_equal(got2, FE().read(9000, 3000))
+    assert cache._np_dtype == np.int16

@@ -51,7 +51,7 @@ def main():
     timed(rx.cache, "get", "cache.get")
     timed(rx.cache, "_upload", "cache.upload")
     timed(rx, "_try_acquire", "acquire")
-    timed(rx.acq, "search", "acquire.search")
+    timed(rx, "_acq_search", "acquire.search")
     timed(rx.fast, "run_block_start", "fast.dispatch")
     timed(rx.fast, "run_block_collect", "fast.collect")
     timed(rx.fast, "run_block", "fast.run_block")
