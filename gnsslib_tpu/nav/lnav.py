@@ -29,6 +29,16 @@ PREAMBLE_L1CA = np.array([1, -1, -1, -1, 1, -1, 1, 1], dtype=np.int64)
 
 # --- decode (src/sdrnav_gps.c:14-140) ----------------------------------------
 
+def _adjweek_time(week: int, sec: float, tow: float):
+    """toe/toc seconds-of-week -> GTime, adjusted into the half-week
+    window around the transmission tow (week-rollover guard)."""
+    if sec < tow - 302400.0:
+        week += 1
+    elif sec > tow + 302400.0:
+        week -= 1
+    return gpst2time(week, sec)
+
+
 def decode_subfrm1(buff, eph: SdrEph, ref_week: int = 2200) -> None:
     eph.tow_gpst = getbitu(buff, 30, 17) * 6.0
     week = getbitu(buff, 60, 10) + 1024
@@ -48,7 +58,12 @@ def decode_subfrm1(buff, eph: SdrEph, ref_week: int = 2200) -> None:
     eph.eph.week = adjgpsweek(week, ref_week)
     eph.week_gpst = eph.eph.week
     eph.eph.ttr = gpst2time(eph.eph.week, eph.tow_gpst)
-    eph.eph.toc = gpst2time(eph.eph.week, toc)
+    eph.eph.toc = _adjweek_time(eph.eph.week, toc, eph.tow_gpst)
+    if eph.eph.toes:
+        # subframe 2 arrived before 1: materialize toe now that the week
+        # is known (eph2pos needs the GTime, not just toes)
+        eph.eph.toe = _adjweek_time(eph.eph.week, eph.eph.toes,
+                                    eph.tow_gpst)
     eph.cnt += 1
 
 
@@ -66,6 +81,9 @@ def decode_subfrm2(buff, eph: SdrEph) -> None:
     eph.eph.toes = getbitu(buff, 270, 16) * 16.0
     eph.eph.fit = getbitu(buff, 286, 1)
     eph.eph.A = sqrtA * sqrtA
+    if eph.eph.week:
+        eph.eph.toe = _adjweek_time(eph.eph.week, eph.eph.toes,
+                                    eph.tow_gpst)
     if oldiode != eph.eph.iode:
         eph.update = True
     eph.cnt += 1

@@ -1,0 +1,114 @@
+"""Single-point positioning from pseudoranges.
+
+Beyond-reference extension (the reference emits RINEX/RTCM for external
+processing): iterative least squares on one epoch's pseudoranges with
+light-time iteration, Sagnac (earth-rotation) correction, and SV clock
+correction.  No iono/tropo models — intended for the framework's
+synthesized-constellation validation and as the base for a full PVT.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from ..constants import CLIGHT, SYS_GLO
+from ..gtime import gpst2time, GTime, timeadd
+from .satpos import OMGE, eph2pos, geph2pos
+
+
+@dataclasses.dataclass
+class SppSolution:
+    ok: bool
+    pos: np.ndarray           # receiver ECEF (m)
+    clk: float                # receiver clock bias (m)
+    resid: np.ndarray         # post-fit residuals (m)
+    nsat: int
+    iters: int
+
+
+def _sat_pos_at_tx(obs, eph, t_rx: GTime):
+    """Satellite ECEF position/clock at transmission, with light-time
+    iteration seeded by the pseudorange."""
+    tau = obs.P / CLIGHT
+    for _ in range(3):
+        t_tx = timeadd(t_rx, -tau)
+        if obs.sys == SYS_GLO:
+            rs, dts = geph2pos(eph, t_tx)
+        else:
+            rs, dts = eph2pos(eph, t_tx)
+        tau = obs.P / CLIGHT + dts
+    return rs, dts, tau
+
+
+def _sagnac(rs: np.ndarray, tau: float) -> np.ndarray:
+    """Rotate the satellite position into the receive-time ECEF frame
+    (earth rotated by OMGE*tau during flight)."""
+    a = OMGE * tau
+    c, s = math.cos(a), math.sin(a)
+    return np.array([c * rs[0] + s * rs[1],
+                     -s * rs[0] + c * rs[1], rs[2]])
+
+
+def spp_solve(obs_list, ephs: dict, x0=None, max_iter: int = 10
+              ) -> SppSolution:
+    """LS position from one epoch.
+
+    ``obs_list``: SdrObs of one epoch.  ``ephs``: {(sys, prn): Eph|Geph}.
+    ``x0``: optional (3,) ECEF seed (default: earth center + first
+    iteration recovers; supply a rough position for faster convergence).
+    """
+    use = [(o, ephs[(o.sys, o.prn)]) for o in obs_list
+           if (o.sys, o.prn) in ephs]
+    if len(use) < 4:
+        return SppSolution(False, np.zeros(3), 0.0, np.zeros(0),
+                           len(use), 0)
+    t_rx = gpst2time(use[0][0].week, use[0][0].tow)
+    x = np.zeros(4)
+    if x0 is not None:
+        x[:3] = x0
+    sats = []
+    for o, e in use:
+        rs, dts, tau = _sat_pos_at_tx(o, e, t_rx)
+        rs = _sagnac(rs, tau)
+        sats.append((rs, dts, o.P))
+    it = 0
+    for it in range(1, max_iter + 1):
+        H = np.zeros((len(sats), 4))
+        v = np.zeros(len(sats))
+        for k, (rs, dts, P) in enumerate(sats):
+            d = x[:3] - rs
+            r = float(np.linalg.norm(d))
+            H[k, :3] = d / r
+            H[k, 3] = 1.0
+            v[k] = P + CLIGHT * dts - (r + x[3])
+        dx, *_ = np.linalg.lstsq(H, v, rcond=None)
+        x += dx
+        if float(np.linalg.norm(dx)) < 1e-4:
+            break
+    resid = np.array([P + CLIGHT * dts
+                      - (float(np.linalg.norm(x[:3] - rs)) + x[3])
+                      for rs, dts, P in sats])
+    return SppSolution(True, x[:3].copy(), float(x[3]), resid,
+                       len(sats), it)
+
+
+def ecef2llh(pos: np.ndarray):
+    """WGS-84 ECEF -> geodetic (lat rad, lon rad, height m)."""
+    a, f = 6378137.0, 1.0 / 298.257223563
+    e2 = f * (2.0 - f)
+    x, y, z = float(pos[0]), float(pos[1]), float(pos[2])
+    r2 = x * x + y * y
+    zz, zk = z, 0.0
+    while abs(zz - zk) >= 1e-4:
+        zk = zz
+        sinp = zz / math.sqrt(r2 + zz * zz)
+        v = a / math.sqrt(1.0 - e2 * sinp * sinp)
+        zz = z + v * e2 * sinp
+    lat = math.atan2(zz, math.sqrt(r2)) if r2 > 1e-12 else \
+        (math.pi / 2.0 if z > 0.0 else -math.pi / 2.0)
+    lon = math.atan2(y, x) if r2 > 1e-12 else 0.0
+    h = math.sqrt(r2 + zz * zz) - (a / math.sqrt(
+        1.0 - e2 * math.sin(lat) ** 2))
+    return lat, lon, h

@@ -48,6 +48,10 @@ def main(argv=None) -> int:
                     help="front-end RF path to process (1 or 2; default "
                          "0 = every path with configured channels)")
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--spp", action="store_true",
+                    help="solve single-point positions per obs epoch "
+                         "(also [OUTPUT] SPP=1); writes a .pos file "
+                         "alongside RINEX")
     ap.add_argument("--spec", action="store_true",
                     help="write IF spectrum/histogram diagnostics "
                          "(also enabled by [SPECTRUM] SPEC=1)")
@@ -60,6 +64,8 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     cfg = load_ini(args.config)
+    if args.spp:
+        cfg.spp = True
     if not cfg.fends:
         print("error: config has no front end ([FEND] missing?)",
               file=sys.stderr)
@@ -153,6 +159,16 @@ def main(argv=None) -> int:
         if rx.obs_writer:
             print(f"rinex obs: {rx.obs_writer.path}")
             print(f"rinex nav: {rx.nav_writer.path}")
+        hub = getattr(rx, "hub", None)
+        if hub is not None and hub.positions:
+            import math
+            from ..obs.spp import ecef2llh
+            wk, tow, pos, clk, nsat = hub.positions[-1]
+            lat, lon, h = ecef2llh(pos)
+            print(f"spp: {len(hub.positions)} fixes; last "
+                  f"tow={tow:.1f} lat={math.degrees(lat):.7f} "
+                  f"lon={math.degrees(lon):.7f} h={h:.1f} m "
+                  f"({nsat} sats)")
     return 0
 
 

@@ -63,6 +63,9 @@ class ReceiverConfig:
                               # integration halves must agree on the peak
                               # (reference accepts the first pass,
                               # src/sdracq.c:89-94)
+    spp: bool = False         # single-point positioning per epoch
+                              # (beyond-reference: the reference leaves
+                              # positioning to external tools)
 
 
 def _get(cp, sec, key, default=None):
@@ -177,4 +180,5 @@ def load_ini(path: str) -> ReceiverConfig:
         # extension knobs (absent in the reference INI schema)
         relock=bool(_geti(cp, "RCV", "RELOCK", 0)),
         acqconfirm=bool(_geti(cp, "RCV", "ACQCONFIRM", 0)),
+        spp=bool(_geti(cp, "OUTPUT", "SPP", 0)),
     )

@@ -88,6 +88,24 @@ class OutputHub:
         self.sbas_srv = TcpServer(cfg.sbasport) if cfg.sbas else None
         self.epochs_written = 0
         self.ephs_written = 0
+        # single-point positioning (beyond-reference; obs/spp.py):
+        # receivers register decoded ephemerides in ``ephs``; each emitted
+        # epoch with >=4 usable satellites is solved and appended to
+        # ``positions`` (tow, ecef, clk, nsat) + the .pos file
+        self.spp = bool(cfg.spp)
+        self.ephs = {}
+        self.positions = []
+        self.pos_writer = None
+        self._last_pos = None
+        if self.spp and cfg.rinex:
+            self.pos_writer = open(
+                os.path.join(cfg.rinexpath,
+                             f"sdr_{time.strftime('%Y%m%d%H%M%S', time.gmtime())}.pos"),
+                "w")
+            self.pos_writer.write(
+                "% gnsslib_tpu single-point positions\n"
+                "% week tow  x(m) y(m) z(m)  clk(m)  nsat  "
+                "lat(deg) lon(deg) h(m)\n")
 
     def emit_epochs(self, inputs: list[ChannelObsInput]
                     ) -> list[list[SdrObs]]:
@@ -116,10 +134,31 @@ class OutputHub:
                     for sysid, lst in by_sys.items():
                         self.rtcm_srv.send(encode_msm7(
                             sysid, lst, obs[0].week, obs[0].tow))
+                if self.spp:
+                    self._solve_epoch(obs)
                 self.epochs_written += 1
             k += 1
         self._oldreftow = newest
         return epochs
+
+    def _solve_epoch(self, obs) -> None:
+        from ..obs.spp import ecef2llh, spp_solve
+        import math
+        sol = spp_solve(obs, self.ephs, x0=self._last_pos)
+        if not sol.ok:
+            return
+        self._last_pos = sol.pos
+        self.positions.append((obs[0].week, obs[0].tow, sol.pos,
+                               sol.clk, sol.nsat))
+        if self.pos_writer:
+            lat, lon, h = ecef2llh(sol.pos)
+            self.pos_writer.write(
+                f"{obs[0].week:5d} {obs[0].tow:11.3f} "
+                f"{sol.pos[0]:14.3f} {sol.pos[1]:14.3f} "
+                f"{sol.pos[2]:14.3f} {sol.clk:12.3f} {sol.nsat:3d} "
+                f"{math.degrees(lat):12.7f} {math.degrees(lon):12.7f} "
+                f"{h:9.3f}\n")
+            self.pos_writer.flush()
 
     def emit_nav(self, channels: list["ChannelRuntime"]) -> None:
         """Nav records on ephemeris update (src/sdrsync.c:137-156);
@@ -257,11 +296,19 @@ class Receiver:
                 self.loggers[ch.idx] = TrackLogger(
                     cfg.logpath, sid, cfg.track.corrn, cfg.track.corrd,
                     float(self.trk.crate[ch.idx]), spec.f_if)
-        self.events = []
+        self._events = []
         # composite receivers (MultiReceiver) set this to the merged
         # channel list, so cross-channel lookups (the SBAS week borrow,
         # src/sdrnav_sbs.c:124-127) see every group's channels
         self.peer_channels = None
+
+    @property
+    def events(self) -> list:
+        """Receiver events in stream-time order.  With pipelining, a
+        block's nav events are recorded one step late (after the next
+        block's acq events are appended), so ordering by timestamp —
+        stable within equal times — restores the sequential-mode order."""
+        return sorted(self._events, key=lambda e: e[1])
 
     # hub delegation (external API stability) ---------------------------- #
     @property
@@ -299,7 +346,7 @@ class Receiver:
                     self.state, [i], [int(res.codei[i])],
                     [float(res.dcarr[i])])
                 self._cnt_host[i] = 0
-                self.events.append(
+                self._events.append(
                     ("acq", t_stream, ch.cfg.prn, float(res.cn0[i]),
                      float(res.peakr[i])))
 
@@ -322,7 +369,7 @@ class Receiver:
                 base + out.loc[:, i].astype(np.int64),
                 was_started)
             for e in evs:
-                self.events.append(("nav:" + e.kind,
+                self._events.append(("nav:" + e.kind,
                                     base / self.spec.f_sf,
                                     ch.cfg.prn, e.sfid, e.tow))
             if ch.nav.flagsync and not ch.synced:
@@ -385,7 +432,7 @@ class Receiver:
                                 ref_week=self.cfg.ref_week)
             ch.hist.nrec = 0
             ch.last_acq_attempt = -1e9
-            self.events.append(("lol", base / self.spec.f_sf,
+            self._events.append(("lol", base / self.spec.f_sf,
                                 ch.cfg.prn))
         else:
             ch.peak_prompt = max(ch.peak_prompt, float(np.median(p)))
@@ -396,6 +443,21 @@ class Receiver:
         Gate on a FULL history: interp1's neighborhood search assumes
         monotonic sample indices, so zero-filled young histories are
         unusable (the reference tolerates garbage early epochs instead)."""
+        for ch in self.channels:
+            # register COMPLETE ephemerides for the hub's SPP stage
+            # (flagdec only means tow is anchored; orbit terms arrive
+            # with later subframes/strings)
+            if ch.nav.flagdec:
+                if ch.cfg.ctype == CodeType.G1:
+                    if any(ch.nav.eph.geph.pos):
+                        self.hub.ephs[(ch.cfg.sys, ch.nav.prn)] = \
+                            ch.nav.eph.geph
+                else:
+                    e = ch.nav.eph.eph
+                    # complete = subframes 1 (toc/clock), 2 (A/toe), and
+                    # 3 (i0/OMG0) all seen
+                    if e.A > 0.0 and e.i0 != 0.0 and e.toe.time:
+                        self.hub.ephs[(ch.cfg.sys, ch.nav.prn)] = e
         ready = [ch for ch in self.channels
                  if ch.nav.flagdec and ch.nav.eph.week_gpst != 0
                  and ch.hist.full]
@@ -567,7 +629,8 @@ class MultiReceiver:
     """
 
     def __init__(self, cfg: ReceiverConfig, parts: list,
-                 nsteps_per_block: int = 400, mesh=None):
+                 nsteps_per_block: int = 400, mesh=None,
+                 pipeline: bool = True):
         """``parts``: list of (ftype, frontend, channel_subset)."""
         self.cfg = cfg
         self.hub = OutputHub(cfg)
@@ -577,6 +640,7 @@ class MultiReceiver:
             r = Receiver(cfg, fe, ftype=ft,
                          nsteps_per_block=nsteps_per_block,
                          hub=self.hub, standalone=False, mesh=mesh,
+                         pipeline=pipeline,
                          channels=chans, cache=caches.get(id(fe)))
             caches.setdefault(id(fe), r.cache)
             self.rx.append(r)
@@ -710,4 +774,5 @@ def build_receiver(cfg: ReceiverConfig, frontends, nsteps_per_block=400,
         return Receiver(cfg, fe, ftype=ft,
                         nsteps_per_block=nsteps_per_block,
                         pipeline=pipeline, mesh=mesh, channels=grp)
-    return MultiReceiver(cfg, parts, nsteps_per_block, mesh)
+    return MultiReceiver(cfg, parts, nsteps_per_block, mesh,
+                         pipeline=pipeline)

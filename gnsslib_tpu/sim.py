@@ -130,9 +130,13 @@ def pack_stereo(fe1: np.ndarray, fe2: np.ndarray, scale1: float = 1.0,
     return ((c1 << 6) | (ci << 3) | cq).astype(np.uint8)
 
 
-def example_eph(prn: int = 1, week: int = 2200, toe_tow: float = 352800.0):
+def example_eph(prn: int = 1, week: int = 2200, toe_tow: float = 352800.0,
+                m0: float = 0.12, omg0: float = -0.27, omg: float = 0.45,
+                i0: float = 0.31):
     """A plausible GPS ephemeris for round-trip tests (values on LNAV scale
-    grids so encode->decode is exact)."""
+    grids so encode->decode is exact).  ``m0``/``omg0``/``omg``/``i0`` are
+    in semicircles — vary them to spread a constellation for geometry
+    tests (sim.geometry_scenario)."""
     from .gtime import gpst2time
     from .nav.eph import SdrEph
     from .nav.lnav import (P2_5, P2_19, P2_29, P2_31, P2_33, P2_43, P2_55,
@@ -146,10 +150,10 @@ def example_eph(prn: int = 1, week: int = 2200, toe_tow: float = 352800.0):
     ep.toc = gpst2time(week, toe_tow)
     ep.A = (5153.625 // P2_19 * P2_19) ** 2
     ep.e = round(0.012 / P2_33) * P2_33
-    ep.i0 = round(0.31 / P2_31) * P2_31 * SC2RAD
-    ep.OMG0 = round(-0.27 / P2_31) * P2_31 * SC2RAD
-    ep.omg = round(0.45 / P2_31) * P2_31 * SC2RAD
-    ep.M0 = round(0.12 / P2_31) * P2_31 * SC2RAD
+    ep.i0 = round(i0 / P2_31) * P2_31 * SC2RAD
+    ep.OMG0 = round(omg0 / P2_31) * P2_31 * SC2RAD
+    ep.omg = round(omg / P2_31) * P2_31 * SC2RAD
+    ep.M0 = round(m0 / P2_31) * P2_31 * SC2RAD
     ep.deln = round(1.4e-9 / P2_43) * P2_43 * SC2RAD
     ep.OMGd = round(-2.5e-9 / P2_43) * P2_43 * SC2RAD
     ep.idot = round(2.0e-10 / P2_43) * P2_43 * SC2RAD
@@ -165,6 +169,68 @@ def example_eph(prn: int = 1, week: int = 2200, toe_tow: float = 352800.0):
     ep.tgd = (round(-1.0e-8 / P2_31) * P2_31, 0.0, 0.0, 0.0)
     ep.fit = 0
     return e
+
+
+def geometry_scenario(ephs, rcv_ecef, tow_obs: float, tow0: float,
+                      min_elev_deg: float = 10.0):
+    """Physics-consistent constellation geometry for SPP validation.
+
+    For each GPS ephemeris in ``ephs`` (list of SdrEph/Eph carriers as
+    returned by :func:`example_eph`), compute the true signal delay at
+    receive epoch ``tow_obs`` for a receiver at ECEF ``rcv_ecef`` —
+    light-time iterated, Sagnac-rotated, SV-clock-shifted — and the
+    delay rate, i.e. exactly what obs/spp.py inverts.  Stream time maps
+    tow(t) = tow0 + t; the linear delay model is anchored at tow_obs so
+    the synthesized signal is exact there (orbit curvature over a short
+    run stays below the DLL jitter).
+
+    Returns a list of dicts per VISIBLE satellite (elevation above
+    ``min_elev_deg``): prn, code_phase (chips at t=0), doppler (sim
+    convention: d(delay)/dt * f_cf), tau (s at tow_obs), rs (ECEF).
+    """
+    import math
+
+    from .constants import CLIGHT
+    from .gtime import gpst2time
+    from .obs.satpos import OMGE, eph2pos
+
+    rcv = np.asarray(rcv_ecef, float)
+    up = rcv / np.linalg.norm(rcv)
+    out = []
+
+    def delay_at(eph, week, tow):
+        # tau_f: true flight time (transmission at tow - tau_f); the
+        # MEASURED code delay is tau_f - dts (a fast SV clock transmits
+        # early, shortening the pseudorange) — the inverse of the
+        # solver's t_tx = t_rx - P/c - dts convention
+        tau_f = 0.075
+        for _ in range(4):
+            rs, dts = eph2pos(eph, gpst2time(week, tow - tau_f))
+            a = OMGE * tau_f
+            rs_r = np.array([math.cos(a) * rs[0] + math.sin(a) * rs[1],
+                             -math.sin(a) * rs[0] + math.cos(a) * rs[1],
+                             rs[2]])
+            tau_f = float(np.linalg.norm(rs_r - rcv)) / CLIGHT
+        return tau_f - dts, rs_r
+
+    for e in ephs:
+        ep = getattr(e, "eph", e)
+        prn = getattr(e, "prn", ep.sat)
+        tau, rs = delay_at(ep, ep.week, tow_obs)
+        los = (rs - rcv) / np.linalg.norm(rs - rcv)
+        elev = math.degrees(math.asin(float(np.dot(los, up))))
+        if elev < min_elev_deg:
+            continue
+        taum, _ = delay_at(ep, ep.week, tow_obs - 0.5)
+        taup, _ = delay_at(ep, ep.week, tow_obs + 0.5)
+        rate = taup - taum                        # s/s
+        t_obs = tow_obs - tow0                    # stream time of the epoch
+        delay0 = tau - rate * t_obs               # linear anchor at tow_obs
+        crate = 1.023e6
+        out.append(dict(prn=prn, tau=tau, rs=rs, elev=elev,
+                        doppler=rate * 1.57542e9,
+                        code_phase=-delay0 * crate))
+    return out
 
 
 def lnav_bit_stream(eph, tow_start: float, nframes: int = 2,
