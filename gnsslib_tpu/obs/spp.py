@@ -26,6 +26,9 @@ class SppSolution:
     resid: np.ndarray         # post-fit residuals (m)
     nsat: int
     iters: int
+    vel: np.ndarray = None    # receiver ECEF velocity (m/s), Doppler LS
+    clk_drift: float = 0.0    # receiver clock drift (m/s)
+    dop: dict = None          # {"gdop","pdop","hdop","vdop","tdop"}
 
 
 def _sat_pos_at_tx(obs, eph, t_rx: GTime):
@@ -90,8 +93,72 @@ def spp_solve(obs_list, ephs: dict, x0=None, max_iter: int = 10
     resid = np.array([P + CLIGHT * dts
                       - (float(np.linalg.norm(x[:3] - rs)) + x[3])
                       for rs, dts, P in sats])
-    return SppSolution(True, x[:3].copy(), float(x[3]), resid,
-                       len(sats), it)
+    sol = SppSolution(True, x[:3].copy(), float(x[3]), resid,
+                      len(sats), it)
+    sol.dop = _dops(H, x[:3])
+    sol.vel, sol.clk_drift = _vel_solve(use, sats, x[:3], H, t_rx)
+    return sol
+
+
+def _dops(H: np.ndarray, pos: np.ndarray) -> dict:
+    """Dilution-of-precision factors from the geometry matrix (ENU-rotated
+    for the horizontal/vertical split)."""
+    lat, lon, _ = ecef2llh(pos)
+    sl, cl = math.sin(lat), math.cos(lat)
+    so, co = math.sin(lon), math.cos(lon)
+    R = np.array([[-so, co, 0.0],
+                  [-sl * co, -sl * so, cl],
+                  [cl * co, cl * so, sl]])       # ECEF -> ENU
+    try:
+        Q = np.linalg.inv(H.T @ H)
+    except np.linalg.LinAlgError:
+        return None
+    Qp = R @ Q[:3, :3] @ R.T
+    return dict(gdop=math.sqrt(max(np.trace(Q), 0.0)),
+                pdop=math.sqrt(max(np.trace(Q[:3, :3]), 0.0)),
+                hdop=math.sqrt(max(Qp[0, 0] + Qp[1, 1], 0.0)),
+                vdop=math.sqrt(max(Qp[2, 2], 0.0)),
+                tdop=math.sqrt(max(Q[3, 3], 0.0)))
+
+
+def _carrier_freq(obs) -> float:
+    if obs.sys == SYS_GLO:
+        from ..constants import FREQ1_GLO, DFRQ1_GLO
+        return FREQ1_GLO + obs.fcn * DFRQ1_GLO
+    return 1.57542e9
+
+
+def _vel_solve(use, sats, pos: np.ndarray, H: np.ndarray, t_rx: GTime):
+    """Receiver velocity + clock drift from Doppler least squares.
+
+    This framework's Doppler convention (matching the reference's
+    D = -(carrfreq - f_if - foffset), src/sdrtrk.c:177): positive D means
+    the pseudorange INCREASES at c*D/f_carrier, so the measured range
+    rate is rdot = c*D/f_cf.  Satellite velocity by central difference of
+    the broadcast model."""
+    rows = []
+    z = []
+    for (o, e), (rs, dts, P) in zip(use, sats):
+        if o.D == 0.0:
+            continue
+        dt = 0.5
+        tau = P / CLIGHT
+        rp, _ = (geph2pos(e, timeadd(t_rx, dt - tau)) if o.sys == SYS_GLO
+                 else eph2pos(e, timeadd(t_rx, dt - tau)))
+        rm, _ = (geph2pos(e, timeadd(t_rx, -dt - tau)) if o.sys == SYS_GLO
+                 else eph2pos(e, timeadd(t_rx, -dt - tau)))
+        vs = (_sagnac(rp, tau) - _sagnac(rm, tau)) / (2.0 * dt)
+        d = pos - rs
+        e_los = d / np.linalg.norm(d)
+        rdot_meas = CLIGHT * o.D / _carrier_freq(o)
+        rows.append(np.concatenate([e_los, [1.0]]))
+        z.append(rdot_meas + float(vs @ e_los))
+    if len(rows) < 4:
+        return None, 0.0
+    A = np.asarray(rows)
+    y = np.asarray(z)
+    v, *_ = np.linalg.lstsq(A, y, rcond=None)
+    return v[:3].copy(), float(v[3])
 
 
 def ecef2llh(pos: np.ndarray):

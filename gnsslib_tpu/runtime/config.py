@@ -66,6 +66,8 @@ class ReceiverConfig:
     spp: bool = False         # single-point positioning per epoch
                               # (beyond-reference: the reference leaves
                               # positioning to external tools)
+    smooth: int = 0           # Hatch carrier-smoothing window (epochs);
+                              # 0 = off (reference has no smoothing)
 
 
 def _get(cp, sec, key, default=None):
@@ -181,4 +183,5 @@ def load_ini(path: str) -> ReceiverConfig:
         relock=bool(_geti(cp, "RCV", "RELOCK", 0)),
         acqconfirm=bool(_geti(cp, "RCV", "ACQCONFIRM", 0)),
         spp=bool(_geti(cp, "OUTPUT", "SPP", 0)),
+        smooth=_geti(cp, "OUTPUT", "SMOOTH", 0),
     )

@@ -93,8 +93,14 @@ class OutputHub:
         # epoch with >=4 usable satellites is solved and appended to
         # ``positions`` (tow, ecef, clk, nsat) + the .pos file
         self.spp = bool(cfg.spp)
+        # optional carrier smoothing of pseudoranges before output/SPP
+        self.smoother = None
+        if cfg.smooth:
+            from ..obs.smooth import HatchSmoother
+            self.smoother = HatchSmoother(window=int(cfg.smooth))
         self.ephs = {}
         self.positions = []
+        self.solutions = []         # full SppSolution per fix (vel, DOP)
         self.pos_writer = None
         self._last_pos = None
         if self.spp and cfg.rinex:
@@ -105,7 +111,7 @@ class OutputHub:
             self.pos_writer.write(
                 "% gnsslib_tpu single-point positions\n"
                 "% week tow  x(m) y(m) z(m)  clk(m)  nsat  "
-                "lat(deg) lon(deg) h(m)\n")
+                "lat(deg) lon(deg) h(m)  speed(m/s) gdop\n")
 
     def emit_epochs(self, inputs: list[ChannelObsInput]
                     ) -> list[list[SdrObs]]:
@@ -123,6 +129,8 @@ class OutputHub:
             t = k * self.outms_ms / 1000.0
             obs = self.aligner._epoch_at(inputs, t)
             if obs:
+                if self.smoother is not None:
+                    self.smoother.smooth(obs)
                 epochs.append(obs)
                 if self.obs_writer:
                     self.obs_writer.write_epoch(obs)
@@ -150,14 +158,18 @@ class OutputHub:
         self._last_pos = sol.pos
         self.positions.append((obs[0].week, obs[0].tow, sol.pos,
                                sol.clk, sol.nsat))
+        self.solutions.append((obs[0].week, obs[0].tow, sol))
         if self.pos_writer:
             lat, lon, h = ecef2llh(sol.pos)
+            spd = (float(np.linalg.norm(sol.vel))
+                   if sol.vel is not None else 0.0)
+            gdop = sol.dop["gdop"] if sol.dop else 0.0
             self.pos_writer.write(
                 f"{obs[0].week:5d} {obs[0].tow:11.3f} "
                 f"{sol.pos[0]:14.3f} {sol.pos[1]:14.3f} "
                 f"{sol.pos[2]:14.3f} {sol.clk:12.3f} {sol.nsat:3d} "
                 f"{math.degrees(lat):12.7f} {math.degrees(lon):12.7f} "
-                f"{h:9.3f}\n")
+                f"{h:9.3f} {spd:8.3f} {gdop:6.2f}\n")
             self.pos_writer.flush()
 
     def emit_nav(self, channels: list["ChannelRuntime"]) -> None:

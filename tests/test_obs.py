@@ -173,3 +173,40 @@ def test_diag_spectrum_and_histogram():
     assert len(edges) == 16
     # mass concentrated within +-4 for a +-3.5 signal
     assert counts[4:12].sum() > 0.9 * n
+
+
+def test_hatch_smoother_reduces_code_noise():
+    """Hatch filter: smoothed P converges to the carrier-implied range;
+    resets on cycle slip and on tow gaps."""
+    import numpy as np
+    from gnsslib_tpu.constants import CLIGHT, SYS_GPS
+    from gnsslib_tpu.obs.epoch import SdrObs
+    from gnsslib_tpu.obs.smooth import HatchSmoother
+
+    lam = CLIGHT / 1.57542e9
+    rng = np.random.default_rng(3)
+    n = 120
+    true = 2.2e7 + 100.0 * np.arange(n)            # 100 m/s range rate
+    noise = rng.normal(0.0, 3.0, n)                # 3 m code noise
+    sm = HatchSmoother(window=20)
+    raw_err, smo_err = [], []
+    for k in range(n):
+        o = SdrObs(sys=SYS_GPS, prn=5, week=2200, tow=1000.0 + 0.4 * k,
+                   P=true[k] + noise[k], L=true[k] / lam, D=0.0, S=45.0)
+        raw_err.append(noise[k])
+        sm.smooth([o])
+        smo_err.append(o.P - true[k])
+    # steady-state smoothing: ~sqrt(20) noise reduction
+    assert np.std(smo_err[40:]) < 0.45 * np.std(raw_err[40:])
+
+    # cycle slip (carrier jumps 200 m) -> filter resets, no bias carried
+    o = SdrObs(sys=SYS_GPS, prn=5, week=2200, tow=1000.0 + 0.4 * n,
+               P=true[-1] + 100.0, L=(true[-1] + 300.0) / lam, D=0, S=45)
+    sm.smooth([o])
+    assert o.P == true[-1] + 100.0                  # passed through (reset)
+
+    # tow gap -> reset
+    o2 = SdrObs(sys=SYS_GPS, prn=5, week=2200, tow=2000.0,
+                P=5.0e6, L=5.0e6 / lam, D=0, S=45)
+    sm.smooth([o2])
+    assert o2.P == 5.0e6

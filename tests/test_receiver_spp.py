@@ -113,3 +113,13 @@ def test_spp_pos_file_written(spp_run, tmp_path):
     lat, lon, h = ecef2llh(pos)
     assert abs(math.degrees(lat) - 35.7) < 0.1
     assert abs(math.degrees(lon) - 139.7) < 0.1
+
+
+def test_spp_velocity_and_dop_from_tracking(spp_run):
+    """The tracked Dopplers yield near-zero velocity for the static
+    receiver; DOP factors are reported."""
+    rx = spp_run
+    _, tow, sol = rx.hub.solutions[-1]
+    assert sol.vel is not None
+    assert float(np.linalg.norm(sol.vel)) < 1.0, sol.vel
+    assert sol.dop and sol.dop["gdop"] < 10.0

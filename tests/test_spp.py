@@ -118,3 +118,25 @@ def test_ecef2llh():
                   (v + h) * math.cos(lat) * math.sin(lon),
                   (v * (1.0 - e2) + h) * math.sin(lat)])
     np.testing.assert_allclose(x, RCV, atol=1e-3)
+
+
+def test_spp_velocity_and_dop():
+    """Doppler LS recovers a static receiver's velocity (~0) and an
+    injected clock drift; DOP factors are sane for the 6-sat geometry."""
+    geo, eph_by_prn = _constellation()
+    clk_drift_true = 4.2                    # m/s
+    obs = []
+    for g in geo:
+        D = g["doppler"] + clk_drift_true * 1.57542e9 / CLIGHT
+        obs.append(SdrObs(sys=SYS_GPS, prn=g["prn"], week=WEEK,
+                          tow=TOW + 14.0, P=CLIGHT * g["tau"] + 100.0,
+                          L=0.0, D=D, S=45.0))
+    ephs = {(SYS_GPS, g["prn"]): eph_by_prn[g["prn"]] for g in geo}
+    sol = spp_solve(obs, ephs)
+    assert sol.ok
+    assert sol.vel is not None
+    assert np.linalg.norm(sol.vel) < 0.25, sol.vel
+    assert abs(sol.clk_drift - clk_drift_true) < 0.25
+    assert sol.dop and 1.0 < sol.dop["gdop"] < 10.0
+    assert sol.dop["pdop"] < sol.dop["gdop"]
+    assert sol.dop["hdop"] > 0 and sol.dop["vdop"] > 0
