@@ -54,14 +54,41 @@ def _sagnac(rs: np.ndarray, tau: float) -> np.ndarray:
                      -s * rs[0] + c * rs[1], rs[2]])
 
 
-def spp_solve(obs_list, ephs: dict, x0=None, max_iter: int = 10
-              ) -> SppSolution:
+def spp_solve(obs_list, ephs: dict, x0=None, max_iter: int = 10,
+              raim_thresh: float = 0.0) -> SppSolution:
     """LS position from one epoch.
 
     ``obs_list``: SdrObs of one epoch.  ``ephs``: {(sys, prn): Eph|Geph}.
     ``x0``: optional (3,) ECEF seed (default: earth center + first
     iteration recovers; supply a rough position for faster convergence).
+    ``raim_thresh``: when > 0 and redundancy allows (nsat >= 5), a
+    post-fit residual above this many metres triggers single-satellite
+    exclusion: re-solve without the worst satellite while it helps.
     """
+    sol = _spp_once(obs_list, ephs, x0, max_iter)
+    if raim_thresh <= 0.0 or not sol.ok:
+        return sol
+    obs_list = [o for o in obs_list if (o.sys, o.prn) in ephs]
+    while sol.nsat >= 5 and float(np.max(np.abs(sol.resid))) > raim_thresh:
+        # a biased measurement leaks into every post-fit residual, so the
+        # largest residual does not reliably mark the faulty satellite:
+        # try each single exclusion and keep the most consistent subset
+        best, best_kept, best_rms = None, None, np.inf
+        for skip in range(len(obs_list)):
+            kept = obs_list[:skip] + obs_list[skip + 1:]
+            trial = _spp_once(kept, ephs, sol.pos, max_iter)
+            if trial.ok:
+                rms = float(np.sqrt(np.mean(trial.resid ** 2)))
+                if rms < best_rms:
+                    best, best_kept, best_rms = trial, kept, rms
+        if best is None or best_rms >= float(
+                np.sqrt(np.mean(sol.resid ** 2))):
+            break
+        obs_list, sol = best_kept, best
+    return sol
+
+
+def _spp_once(obs_list, ephs: dict, x0, max_iter: int) -> SppSolution:
     use = [(o, ephs[(o.sys, o.prn)]) for o in obs_list
            if (o.sys, o.prn) in ephs]
     if len(use) < 4:

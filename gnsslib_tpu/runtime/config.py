@@ -68,6 +68,8 @@ class ReceiverConfig:
                               # positioning to external tools)
     smooth: int = 0           # Hatch carrier-smoothing window (epochs);
                               # 0 = off (reference has no smoothing)
+    raim: float = 0.0         # SPP residual threshold (m) for single-
+                              # satellite exclusion; 0 = off
 
 
 def _get(cp, sec, key, default=None):
@@ -184,4 +186,5 @@ def load_ini(path: str) -> ReceiverConfig:
         acqconfirm=bool(_geti(cp, "RCV", "ACQCONFIRM", 0)),
         spp=bool(_geti(cp, "OUTPUT", "SPP", 0)),
         smooth=_geti(cp, "OUTPUT", "SMOOTH", 0),
+        raim=_getf(cp, "OUTPUT", "RAIM", 0.0),
     )

@@ -152,7 +152,8 @@ class OutputHub:
     def _solve_epoch(self, obs) -> None:
         from ..obs.spp import ecef2llh, spp_solve
         import math
-        sol = spp_solve(obs, self.ephs, x0=self._last_pos)
+        sol = spp_solve(obs, self.ephs, x0=self._last_pos,
+                        raim_thresh=float(self.cfg.raim))
         if not sol.ok:
             return
         self._last_pos = sol.pos

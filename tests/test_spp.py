@@ -140,3 +140,22 @@ def test_spp_velocity_and_dop():
     assert sol.dop and 1.0 < sol.dop["gdop"] < 10.0
     assert sol.dop["pdop"] < sol.dop["gdop"]
     assert sol.dop["hdop"] > 0 and sol.dop["vdop"] > 0
+
+
+def test_spp_raim_excludes_faulty_satellite():
+    """A 500 m bias on one of 6 satellites: plain LS is pulled ~100 m off;
+    RAIM exclusion restores the exact solution."""
+    geo, eph_by_prn = _constellation()
+    obs = []
+    for i, g in enumerate(geo):
+        bias = 500.0 if i == 2 else 0.0
+        obs.append(SdrObs(sys=SYS_GPS, prn=g["prn"], week=WEEK,
+                          tow=TOW + 14.0, P=CLIGHT * g["tau"] + 50.0 + bias,
+                          L=0.0, D=0.0, S=45.0))
+    ephs = {(SYS_GPS, g["prn"]): eph_by_prn[g["prn"]] for g in geo}
+    plain = spp_solve(obs, ephs)
+    assert plain.ok and np.linalg.norm(plain.pos - RCV) > 30.0
+    raim = spp_solve(obs, ephs, raim_thresh=10.0)
+    assert raim.ok and raim.nsat == 5
+    assert np.linalg.norm(raim.pos - RCV) < 0.05
+    assert np.max(np.abs(raim.resid)) < 1e-3
