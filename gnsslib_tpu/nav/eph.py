@@ -78,6 +78,9 @@ class SdrEph:
     week_gpst: int = 0
     cnt: int = 0                 # decoded subframe/string counter
     cntth: int = 0               # subframes needed for a full ephemeris
+    iode_sf2: int = -1           # IODE seen in subframe 2 (L1CA)
+    iode_sf3: int = -2           # IODE seen in subframe 3 (distinct
+                                 # defaults: incomplete never "matches")
     update: bool = False         # new ephemeris (IODE change) pending output
     # GLONASS merge scratch (src/sdrnav_glo.c:157-175)
     tk: list = dataclasses.field(default_factory=lambda: [0, 0, 0])

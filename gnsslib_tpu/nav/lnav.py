@@ -59,9 +59,10 @@ def decode_subfrm1(buff, eph: SdrEph, ref_week: int = 2200) -> None:
     eph.week_gpst = eph.eph.week
     eph.eph.ttr = gpst2time(eph.eph.week, eph.tow_gpst)
     eph.eph.toc = _adjweek_time(eph.eph.week, toc, eph.tow_gpst)
-    if eph.eph.toes:
-        # subframe 2 arrived before 1: materialize toe now that the week
-        # is known (eph2pos needs the GTime, not just toes)
+    if eph.iode_sf2 >= 0:
+        # subframe 2 arrived before 1 (toes may legitimately be 0.0 at
+        # the week boundary, so test the seen-marker, not the value):
+        # materialize toe now that the week is known
         eph.eph.toe = _adjweek_time(eph.eph.week, eph.eph.toes,
                                     eph.tow_gpst)
     eph.cnt += 1
@@ -81,6 +82,7 @@ def decode_subfrm2(buff, eph: SdrEph) -> None:
     eph.eph.toes = getbitu(buff, 270, 16) * 16.0
     eph.eph.fit = getbitu(buff, 286, 1)
     eph.eph.A = sqrtA * sqrtA
+    eph.iode_sf2 = eph.eph.iode
     if eph.eph.week:
         eph.eph.toe = _adjweek_time(eph.eph.week, eph.eph.toes,
                                     eph.tow_gpst)
@@ -100,6 +102,7 @@ def decode_subfrm3(buff, eph: SdrEph) -> None:
     eph.eph.omg = getbits2(buff, 196, 8, 210, 24) * P2_31 * SC2RAD
     eph.eph.OMGd = getbits(buff, 240, 24) * P2_43 * SC2RAD
     eph.eph.iode = getbitu(buff, 270, 8)
+    eph.iode_sf3 = eph.eph.iode
     eph.eph.idot = getbits(buff, 278, 14) * P2_43 * SC2RAD
     if oldiode != eph.eph.iode:
         eph.update = True

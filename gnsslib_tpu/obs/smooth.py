@@ -14,7 +14,7 @@ long windows — keep N modest (reference-grade receivers use 10-100 s).
 """
 from __future__ import annotations
 
-from ..constants import CLIGHT, SYS_GLO, FREQ1_GLO, DFRQ1_GLO
+from ..constants import CLIGHT, FREQ1, SYS_GLO, FREQ1_GLO, DFRQ1_GLO
 
 
 class HatchSmoother:
@@ -28,7 +28,7 @@ class HatchSmoother:
     def _lam(self, obs) -> float:
         if obs.sys == SYS_GLO:
             return CLIGHT / (FREQ1_GLO + obs.fcn * DFRQ1_GLO)
-        return CLIGHT / 1.57542e9
+        return CLIGHT / FREQ1
 
     def smooth(self, obs_list, max_gap_s: float = 2.0):
         """Smooth one epoch's observables IN PLACE (obs.P updated);

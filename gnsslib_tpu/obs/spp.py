@@ -13,7 +13,7 @@ import math
 
 import numpy as np
 
-from ..constants import CLIGHT, SYS_GLO
+from ..constants import CLIGHT, FREQ1, SYS_GLO
 from ..gtime import gpst2time, GTime, timeadd
 from .satpos import OMGE, eph2pos, geph2pos
 
@@ -69,7 +69,10 @@ def spp_solve(obs_list, ephs: dict, x0=None, max_iter: int = 10,
     if raim_thresh <= 0.0 or not sol.ok:
         return sol
     obs_list = [o for o in obs_list if (o.sys, o.prn) in ephs]
-    while sol.nsat >= 5 and float(np.max(np.abs(sol.resid))) > raim_thresh:
+    # exclusion requires the SURVIVING subset to keep redundancy: with
+    # only 5 sats every 4-sat subset fits exactly (zero residuals), so
+    # the "most consistent" pick is arbitrary and often keeps the fault
+    while sol.nsat >= 6 and float(np.max(np.abs(sol.resid))) > raim_thresh:
         # a biased measurement leaks into every post-fit residual, so the
         # largest residual does not reliably mark the faulty satellite:
         # try each single exclusion and keep the most consistent subset
@@ -123,7 +126,7 @@ def _spp_once(obs_list, ephs: dict, x0, max_iter: int) -> SppSolution:
     sol = SppSolution(True, x[:3].copy(), float(x[3]), resid,
                       len(sats), it)
     sol.dop = _dops(H, x[:3])
-    sol.vel, sol.clk_drift = _vel_solve(use, sats, x[:3], H, t_rx)
+    sol.vel, sol.clk_drift = _vel_solve(use, sats, x[:3], t_rx)
     return sol
 
 
@@ -152,10 +155,10 @@ def _carrier_freq(obs) -> float:
     if obs.sys == SYS_GLO:
         from ..constants import FREQ1_GLO, DFRQ1_GLO
         return FREQ1_GLO + obs.fcn * DFRQ1_GLO
-    return 1.57542e9
+    return FREQ1
 
 
-def _vel_solve(use, sats, pos: np.ndarray, H: np.ndarray, t_rx: GTime):
+def _vel_solve(use, sats, pos: np.ndarray, t_rx: GTime):
     """Receiver velocity + clock drift from Doppler least squares.
 
     This framework's Doppler convention (matching the reference's

@@ -169,6 +169,7 @@ def main(argv=None) -> int:
                   f"tow={tow:.1f} lat={math.degrees(lat):.7f} "
                   f"lon={math.degrees(lon):.7f} h={h:.1f} m "
                   f"({nsat} sats)")
+    rx.close()
     return 0
 
 

@@ -104,10 +104,13 @@ class OutputHub:
         self.pos_writer = None
         self._last_pos = None
         if self.spp and cfg.rinex:
+            os.makedirs(cfg.rinexpath, exist_ok=True)
+            stamp = time.strftime('%Y%m%d%H%M%S', time.gmtime())
+            if self.obs_writer is not None:
+                # share the RINEX files' timestamp
+                stamp = os.path.basename(self.obs_writer.path)[4:-4]
             self.pos_writer = open(
-                os.path.join(cfg.rinexpath,
-                             f"sdr_{time.strftime('%Y%m%d%H%M%S', time.gmtime())}.pos"),
-                "w")
+                os.path.join(cfg.rinexpath, f"sdr_{stamp}.pos"), "w")
             self.pos_writer.write(
                 "% gnsslib_tpu single-point positions\n"
                 "% week tow  x(m) y(m) z(m)  clk(m)  nsat  "
@@ -130,7 +133,8 @@ class OutputHub:
             obs = self.aligner._epoch_at(inputs, t)
             if obs:
                 if self.smoother is not None:
-                    self.smoother.smooth(obs)
+                    self.smoother.smooth(
+                        obs, max_gap_s=2.5 * self.outms_ms / 1000.0)
                 epochs.append(obs)
                 if self.obs_writer:
                     self.obs_writer.write_epoch(obs)
@@ -172,6 +176,16 @@ class OutputHub:
                 f"{math.degrees(lat):12.7f} {math.degrees(lon):12.7f} "
                 f"{h:9.3f} {spd:8.3f} {gdop:6.2f}\n")
             self.pos_writer.flush()
+
+    def close(self) -> None:
+        """Close output files (writers flush per record; this releases
+        the descriptors for long-lived embedding processes)."""
+        if self.pos_writer is not None:
+            self.pos_writer.close()
+            self.pos_writer = None
+        for w in (self.obs_writer, self.nav_writer):
+            if w is not None and hasattr(w, "close"):
+                w.close()
 
     def emit_nav(self, channels: list["ChannelRuntime"]) -> None:
         """Nav records on ephemeris update (src/sdrsync.c:137-156);
@@ -467,10 +481,18 @@ class Receiver:
                             ch.nav.eph.geph
                 else:
                     e = ch.nav.eph.eph
-                    # complete = subframes 1 (toc/clock), 2 (A/toe), and
-                    # 3 (i0/OMG0) all seen
-                    if e.A > 0.0 and e.i0 != 0.0 and e.toe.time:
-                        self.hub.ephs[(ch.cfg.sys, ch.nav.prn)] = e
+                    # complete AND consistent: subframes 1 (toc/clock),
+                    # 2 (A/toe), 3 (i0/OMG0) seen with MATCHING IODE —
+                    # during a data-set cutover sf2's new elements pair
+                    # with sf3's old ones for ~6 s; register a snapshot
+                    # only when both halves agree
+                    if e.A > 0.0 and e.i0 != 0.0 and e.toe.time and \
+                            ch.nav.eph.iode_sf2 == ch.nav.eph.iode_sf3:
+                        key = (ch.cfg.sys, ch.nav.prn)
+                        old = self.hub.ephs.get(key)
+                        if old is None or old.iode != e.iode:
+                            import copy
+                            self.hub.ephs[key] = copy.deepcopy(e)
         ready = [ch for ch in self.channels
                  if ch.nav.flagdec and ch.nav.eph.week_gpst != 0
                  and ch.hist.full]
@@ -596,6 +618,12 @@ class Receiver:
             prev, self._pending = self._pending, None
             self._collect(*prev)
 
+    def close(self) -> None:
+        """Flush pending work and close output files."""
+        self.flush()
+        if self.standalone:
+            self.hub.close()
+
     def _summary(self, t_start: float, nblocks: int) -> dict:
         wall = time.time() - t_start
         return dict(
@@ -707,6 +735,11 @@ class MultiReceiver:
             snaps = pickle.load(f)
         for r, d in zip(self.rx, snaps):
             r._restore(d)
+
+    def close(self) -> None:
+        for r in self.rx:
+            r.flush()
+        self.hub.close()
 
     def run_seconds(self, seconds: float | None = None,
                     progress=None) -> dict:

@@ -190,7 +190,7 @@ def geometry_scenario(ephs, rcv_ecef, tow_obs: float, tow0: float,
     """
     import math
 
-    from .constants import CLIGHT
+    from .constants import CLIGHT, FREQ1
     from .gtime import gpst2time
     from .obs.satpos import OMGE, eph2pos
 
@@ -228,7 +228,7 @@ def geometry_scenario(ephs, rcv_ecef, tow_obs: float, tow0: float,
         delay0 = tau - rate * t_obs               # linear anchor at tow_obs
         crate = 1.023e6
         out.append(dict(prn=prn, tau=tau, rs=rs, elev=elev,
-                        doppler=rate * 1.57542e9,
+                        doppler=rate * FREQ1,
                         code_phase=-delay0 * crate))
     return out
 

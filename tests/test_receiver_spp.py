@@ -83,9 +83,10 @@ def spp_run(tmp_path_factory):
         # sample alignment — position-domain poison; the interpolated
         # table removes it
         track=TrackConfig(corrn=4, corrd=2, corrp=2, interp_replica=True),
-        outms=400, rinex=False, spp=True)
+        outms=400, rinex=True, rinexpath=str(tmp / "out"), spp=True)
     rx = Receiver(cfg, FileFrontend(str(path), spec))
     rx.run_seconds()
+    rx.close()
     return rx
 
 
@@ -105,14 +106,27 @@ def test_spp_positions_recover_truth(spp_run):
 
 
 def test_spp_pos_file_written(spp_run, tmp_path):
-    """OutputHub writes the .pos file when RINEX output is on."""
+    """OutputHub writes the .pos file (same timestamp as the RINEX
+    files) and its lines carry sane geodetic coordinates."""
     import math
+    import os
     from gnsslib_tpu.obs.spp import ecef2llh
     rx = spp_run
     _, tow, pos, clk, nsat = rx.hub.positions[-1]
     lat, lon, h = ecef2llh(pos)
     assert abs(math.degrees(lat) - 35.7) < 0.1
     assert abs(math.degrees(lon) - 139.7) < 0.1
+    outdir = os.path.dirname(rx.obs_writer.path)
+    posfiles = [f for f in os.listdir(outdir) if f.endswith(".pos")]
+    assert len(posfiles) == 1
+    assert posfiles[0][:-4] == os.path.basename(rx.obs_writer.path)[:-4]
+    lines = [ln for ln in open(os.path.join(outdir, posfiles[0]))
+             if not ln.startswith("%")]
+    assert len(lines) == len(rx.hub.positions)
+    f = lines[-1].split()
+    assert abs(float(f[7]) - 35.7) < 0.1      # lat column
+    assert abs(float(f[8]) - 139.7) < 0.1     # lon column
+    assert float(f[11]) < 20.0                # gdop column
 
 
 def test_spp_velocity_and_dop_from_tracking(spp_run):
