@@ -89,6 +89,14 @@ def _glo_deriv(x: np.ndarray, acc) -> np.ndarray:
         (c - 2.0 * a) * x[2] + acc[2]])
 
 
+def satpos_any(e, t: GTime):
+    """Dispatch on ephemeris kind: GPS/QZS Eph (has Keplerian ``A``) vs
+    GLONASS Geph (has a ``pos`` state vector)."""
+    if hasattr(e, "A"):
+        return eph2pos(e, t)
+    return geph2pos(e, t)
+
+
 def geph2pos(geph, t: GTime, step: float = 60.0):
     """GLONASS satellite ECEF position (m) and clock bias (s) at ``t``
     (GPST): RK4 integration of the broadcast state vector from toe."""

@@ -191,6 +191,26 @@ def _vel_solve(use, sats, pos: np.ndarray, t_rx: GTime):
     return v[:3].copy(), float(v[3])
 
 
+def predict_range(e, pos: np.ndarray, t_rx: GTime):
+    """Predicted measured delay (s) and delay rate (s/s) for a receiver
+    at ECEF ``pos`` receiving satellite ``e`` at GPST ``t_rx`` — the
+    forward model of the solver (light-time, Sagnac, SV clock), used for
+    position-aided hot starts."""
+    from .satpos import satpos_any
+
+    def tau_at(dt: float) -> float:
+        tau_f = 0.075
+        for _ in range(4):
+            rs, dts = satpos_any(e, timeadd(t_rx, dt - tau_f))
+            rs_r = _sagnac(rs, tau_f)
+            tau_f = float(np.linalg.norm(rs_r - pos)) / CLIGHT
+        return tau_f - dts
+
+    tau0 = tau_at(0.0)
+    rate = tau_at(0.5) - tau_at(-0.5)
+    return tau0, rate
+
+
 def ecef2llh(pos: np.ndarray):
     """WGS-84 ECEF -> geodetic (lat rad, lon rad, height m)."""
     a, f = 6378137.0, 1.0 / 298.257223563

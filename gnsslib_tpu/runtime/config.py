@@ -70,6 +70,9 @@ class ReceiverConfig:
                               # 0 = off (reference has no smoothing)
     raim: float = 0.0         # SPP residual threshold (m) for single-
                               # satellite exclusion; 0 = off
+    hotstart: bool = False    # position/ephemeris-aided direct tracking
+                              # handoff for unlocked channels (skips FFT
+                              # acquisition once fixes exist)
 
 
 def _get(cp, sec, key, default=None):
@@ -187,4 +190,5 @@ def load_ini(path: str) -> ReceiverConfig:
         spp=bool(_geti(cp, "OUTPUT", "SPP", 0)),
         smooth=_geti(cp, "OUTPUT", "SMOOTH", 0),
         raim=_getf(cp, "OUTPUT", "RAIM", 0.0),
+        hotstart=bool(_geti(cp, "RCV", "HOTSTART", 0)),
     )

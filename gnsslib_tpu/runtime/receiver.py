@@ -361,6 +361,9 @@ class Receiver:
                 t_stream - ch.last_acq_attempt >= ACQSLEEP / 1000.0 - 1e-9]
         if not pend:
             return
+        pend = self._try_hotstart(pend, t_stream)
+        if not pend:
+            return
         need = (self.acq.intg + 2) * self.nsamp
         res = self._acq_search(self.frontend.read(self.base, need))
         for ch in pend:
@@ -376,6 +379,65 @@ class Receiver:
                 self._events.append(
                     ("acq", t_stream, ch.cfg.prn, float(res.cn0[i]),
                      float(res.peakr[i])))
+
+    def _try_hotstart(self, pend: list, t_stream: float) -> list:
+        """Position/ephemeris-aided direct tracking handoff (HOTSTART=1;
+        absent in the reference, which always FFT-searches).  Once fixes
+        exist, an unlocked satellite's code-boundary sample and Doppler
+        are predicted from the last position, its broadcast orbit, and a
+        decoded reference channel's transmit-time anchor — accurate to a
+        fraction of a chip, so the channel starts straight in pull-in.
+        Returns the channels still needing cold FFT acquisition."""
+        from ..constants import CLIGHT, FREQ1
+        from ..gtime import gpst2time
+        from ..obs.spp import predict_range
+        hub = self.hub
+        if not self.cfg.hotstart or not hub.solutions:
+            return pend
+        ref = next((c for c in self.channels if c.locked and c.nav.flagdec
+                    and c.cfg.ctype == CodeType.L1CA
+                    and c.hist.nrec > 0), None)
+        if ref is None:
+            return pend
+        eph_r = hub.ephs.get((ref.cfg.sys, ref.nav.prn))
+        if eph_r is None:
+            return pend
+        _, _, sol = hub.solutions[-1]
+        pos = sol.pos
+        week = ref.nav.eph.week_gpst
+        ti = self.trk.ti
+        # transmit-time anchor from the reference channel's NEWEST
+        # observable record (tow_r is the transmit time of the fractional
+        # sample codei - remc to tracking jitter).  The anchor must also
+        # advance at the ref's TRANSMIT rate (1 - dtau/dt), not 1:1 with
+        # receiver samples — code Doppler accumulates ~2.7 us of
+        # transmit-time skew per second per 800 m/s of range rate, i.e.
+        # chips of error if extrapolated from the preamble seconds ago.
+        tow_r = float(ref.hist.tow[0])
+        s_r = float(ref.hist.codei[0]) - float(ref.hist.remc[0])
+        tau_r, rate_r = predict_range(eph_r, pos, gpst2time(week, tow_r))
+        T_r = tow_r + (self.base - s_r) * ti * (1.0 - rate_r)
+        t_rx = gpst2time(week, T_r + tau_r)      # GPS receive time at base
+        remaining = []
+        for ch in pend:
+            e = hub.ephs.get((ch.cfg.sys, ch.cfg.prn))
+            if e is None or ch.cfg.ctype != CodeType.L1CA:
+                remaining.append(ch)
+                continue
+            tau_t, rate = predict_range(e, pos, t_rx)
+            # sample of this satellite's next code-period boundary
+            T_tx_t = (T_r + tau_r) - tau_t
+            ctime = float(self.trk.ctime[ch.idx])
+            loc = int(round(((-T_tx_t) % ctime) / ti))
+            D = rate * FREQ1 + sol.clk_drift * FREQ1 / CLIGHT
+            self.state = self.trk.start_channels(
+                self.state, [ch.idx], [loc], [-D])
+            self._cnt_host[ch.idx] = 0
+            ch.locked = True
+            ch.last_acq_attempt = t_stream
+            self._events.append(("hot", t_stream, ch.cfg.prn,
+                                 float(-D), loc))
+        return remaining
 
     # ------------------------------------------------------------------ #
     def _feed_nav_and_obs(self, out, cnt0: np.ndarray, base: int,

@@ -192,7 +192,7 @@ def geometry_scenario(ephs, rcv_ecef, tow_obs: float, tow0: float,
 
     from .constants import CLIGHT, FREQ1
     from .gtime import gpst2time
-    from .obs.satpos import OMGE, eph2pos
+    from .obs.satpos import OMGE, satpos_any
 
     rcv = np.asarray(rcv_ecef, float)
     up = rcv / np.linalg.norm(rcv)
@@ -205,7 +205,7 @@ def geometry_scenario(ephs, rcv_ecef, tow_obs: float, tow0: float,
         # solver's t_tx = t_rx - P/c - dts convention
         tau_f = 0.075
         for _ in range(4):
-            rs, dts = eph2pos(eph, gpst2time(week, tow - tau_f))
+            rs, dts = satpos_any(eph, gpst2time(week, tow - tau_f))
             a = OMGE * tau_f
             rs_r = np.array([math.cos(a) * rs[0] + math.sin(a) * rs[1],
                              -math.sin(a) * rs[0] + math.cos(a) * rs[1],
@@ -215,14 +215,22 @@ def geometry_scenario(ephs, rcv_ecef, tow_obs: float, tow0: float,
 
     for e in ephs:
         ep = getattr(e, "eph", e)
-        prn = getattr(e, "prn", ep.sat)
-        tau, rs = delay_at(ep, ep.week, tow_obs)
+        gp = getattr(e, "geph", None)
+        if not hasattr(ep, "A") or ep.A == 0.0:
+            # GLONASS entry (SdrEph with a filled geph, or a bare Geph)
+            ep = gp if gp is not None and any(gp.pos) else ep
+        prn = getattr(e, "prn", getattr(ep, "sat", 0))
+        week = getattr(ep, "week", None)
+        if week is None:
+            from .gtime import time2gpst
+            _, week = time2gpst(ep.toe)
+        tau, rs = delay_at(ep, week, tow_obs)
         los = (rs - rcv) / np.linalg.norm(rs - rcv)
         elev = math.degrees(math.asin(float(np.dot(los, up))))
         if elev < min_elev_deg:
             continue
-        taum, _ = delay_at(ep, ep.week, tow_obs - 0.5)
-        taup, _ = delay_at(ep, ep.week, tow_obs + 0.5)
+        taum, _ = delay_at(ep, week, tow_obs - 0.5)
+        taup, _ = delay_at(ep, week, tow_obs + 0.5)
         rate = taup - taum                        # s/s
         t_obs = tow_obs - tow0                    # stream time of the epoch
         delay0 = tau - rate * t_obs               # linear anchor at tow_obs

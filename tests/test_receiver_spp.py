@@ -137,3 +137,72 @@ def test_spp_velocity_and_dop_from_tracking(spp_run):
     assert sol.vel is not None
     assert float(np.linalg.norm(sol.vel)) < 1.0, sol.vel
     assert sol.dop and sol.dop["gdop"] < 10.0
+
+
+def test_hotstart_aided_handoff(spp_run):
+    """Position/ephemeris-aided hot start: with one satellite's FFT
+    acquisition suppressed and its ephemeris supplied as assistance
+    (A-GNSS style, injected into hub.ephs — a satellite's own ephemeris
+    is otherwise only known after ITS nav decode), the receiver derives
+    its code-boundary sample and Doppler from the fix + broadcast orbit
+    and starts tracking directly.  The prediction must land within DLL
+    pull-in range of the simulated truth (sub-chip code phase, a few Hz
+    Doppler)."""
+    import copy
+    from gnsslib_tpu.constants import SYS_GPS
+    from gnsslib_tpu.constants import FrontendType
+    from gnsslib_tpu.io.frontend import FileFrontend, FrontendSpec
+    from gnsslib_tpu.runtime.config import ReceiverConfig, ChannelConfig
+    from gnsslib_tpu.runtime.receiver import Receiver
+    from gnsslib_tpu.track.state import TrackConfig
+
+    rx0 = spp_run
+    path = rx0.frontend.path
+    spec = rx0.spec
+    prns = [c.cfg.prn for c in rx0.channels]
+    blocked = prns[-1]
+    cfg = ReceiverConfig(
+        channels=[ChannelConfig(prn=p) for p in prns],
+        fends=[spec], files=[path],
+        track=TrackConfig(corrn=4, corrd=2, corrp=2, interp_replica=True),
+        outms=400, rinex=False, spp=True, hotstart=True)
+    rx = Receiver(cfg, FileFrontend(path, spec))
+    orig = rx._acq_search
+
+    def suppress(data):
+        res = orig(data)
+        res.acquired[prns.index(blocked)] = False
+        return res
+    rx._acq_search = suppress
+
+    # truth reconstruction (same deterministic build as the fixture) +
+    # assistance injection for the suppressed satellite
+    cands = []
+    k = 0
+    for omg0 in (-0.9, -0.55, -0.2, 0.15, 0.5, 0.85):
+        for m0 in (-0.6, 0.0, 0.6):
+            k += 1
+            cands.append(sim.example_eph(prn=k, week=WEEK, toe_tow=TOW0,
+                                         m0=m0, omg0=omg0))
+    geo = sim.geometry_scenario(cands, RCV, TOW0 + T_OBS, TOW0,
+                                min_elev_deg=15.0)[:6]
+    rx.hub.ephs[(SYS_GPS, blocked)] = copy.deepcopy(
+        next(c for c in cands if c.prn == blocked).eph)
+    rx.run_seconds()
+
+    hot = [e for e in rx.events if e[0] == "hot"]
+    assert len(hot) == 1 and hot[0][2] == blocked, rx.events
+    ch = next(c for c in rx.channels if c.cfg.prn == blocked)
+    assert ch.locked
+    _, t_hot, _, negD_pred, loc_pred = hot[0]
+    g = next(x for x in geo if x["prn"] == blocked)
+    D_true = g["doppler"]
+    assert abs(-negD_pred - D_true) < 5.0, (negD_pred, D_true)
+
+    base = int(round(t_hot * F_SF))          # block start at hot event
+    t0 = (base + loc_pred) / F_SF
+    crate_rx = 1.023e6 * (1.0 - D_true / 1.57542e9)
+    chips = (g["code_phase"] + crate_rx * t0) % 1023.0
+    err_chips = min(chips, 1023.0 - chips)
+    err_samples = err_chips * F_SF / 1.023e6
+    assert err_samples < 3.0, f"boundary error {err_samples:.2f} samples"

@@ -159,3 +159,58 @@ def test_spp_raim_excludes_faulty_satellite():
     assert raim.ok and raim.nsat == 5
     assert np.linalg.norm(raim.pos - RCV) < 0.05
     assert np.max(np.abs(raim.resid)) < 1e-3
+
+
+def test_spp_mixed_gps_glonass():
+    """Mixed-constellation solve: 4 GPS + 2 GLONASS with exact
+    pseudoranges built through the same light-time/Sagnac/SV-clock model
+    the solver inverts (GLONASS leg: geph2pos RK4 + taun clock)."""
+    from gnsslib_tpu.constants import SYS_GLO
+    from gnsslib_tpu.gtime import timeadd
+    from gnsslib_tpu.nav.eph import Geph
+    from gnsslib_tpu.obs.satpos import OMGE, satpos_any
+    from gnsslib_tpu.constants import CLIGHT as C
+
+    geo, eph_by_prn = _constellation()
+    t_rx = gpst2time(WEEK, TOW + 14.0)
+
+    def delay_of(e):
+        # flight-time iteration identical to sim.geometry_scenario
+        tau_f = 0.075
+        for _ in range(4):
+            rs, dts = satpos_any(e, timeadd(t_rx, -tau_f))
+            a = OMGE * tau_f
+            rs_r = np.array([math.cos(a) * rs[0] + math.sin(a) * rs[1],
+                             -math.sin(a) * rs[0] + math.cos(a) * rs[1],
+                             rs[2]])
+            tau_f = float(np.linalg.norm(rs_r - RCV)) / C
+        return tau_f - dts
+
+    obs, ephs = [], {}
+    for g in geo[:4]:
+        e = eph_by_prn[g["prn"]]
+        obs.append(SdrObs(sys=SYS_GPS, prn=g["prn"], week=WEEK,
+                          tow=TOW + 14.0, P=C * delay_of(e) + 77.0,
+                          L=0.0, D=0.0, S=45.0))
+        ephs[(SYS_GPS, g["prn"])] = e
+    # two GLONASS satellites: state vectors on the 25508 km shell along
+    # two visible GPS directions (guaranteed above the horizon), with
+    # plausible tangential velocities and a taun clock
+    for slot, (fcn, gref) in enumerate(zip((-3, 4), geo[4:6]), start=1):
+        rdir = gref["rs"] / np.linalg.norm(gref["rs"])
+        pos = rdir * 25508000.0
+        tang = np.cross([0.0, 0.0, 1.0], rdir)
+        tang /= np.linalg.norm(tang)
+        v0 = math.sqrt(398600.44e9 / 25508000.0)
+        g = Geph(pos=list(pos), vel=list(tang * v0),
+                 acc=[0.0, 0.0, 0.0], taun=2.0e-5, gamn=0.0,
+                 frq=fcn, toe=gpst2time(WEEK, TOW))
+        obs.append(SdrObs(sys=SYS_GLO, prn=slot, week=WEEK,
+                          tow=TOW + 14.0, P=C * delay_of(g) + 77.0,
+                          L=0.0, D=0.0, S=44.0, fcn=fcn))
+        ephs[(SYS_GLO, slot)] = g
+    sol = spp_solve(obs, ephs)
+    assert sol.ok and sol.nsat == 6
+    err = np.linalg.norm(sol.pos - RCV)
+    assert err < 0.05, f"mixed-constellation error {err} m"
+    assert abs(sol.clk - 77.0) < 0.05
