@@ -29,6 +29,7 @@ class SppSolution:
     vel: np.ndarray = None    # receiver ECEF velocity (m/s), Doppler LS
     clk_drift: float = 0.0    # receiver clock drift (m/s)
     dop: dict = None          # {"gdop","pdop","hdop","vdop","tdop"}
+    clk_sys: dict = None      # per-system receiver clock (m): {sys: clk}
 
 
 def _sat_pos_at_tx(obs, eph, t_rx: GTime):
@@ -69,10 +70,13 @@ def spp_solve(obs_list, ephs: dict, x0=None, max_iter: int = 10,
     if raim_thresh <= 0.0 or not sol.ok:
         return sol
     obs_list = [o for o in obs_list if (o.sys, o.prn) in ephs]
-    # exclusion requires the SURVIVING subset to keep redundancy: with
-    # only 5 sats every 4-sat subset fits exactly (zero residuals), so
-    # the "most consistent" pick is arbitrary and often keeps the fault
-    while sol.nsat >= 6 and float(np.max(np.abs(sol.resid))) > raim_thresh:
+    # exclusion requires the SURVIVING subset to keep redundancy (one
+    # more than the 3+nclk unknowns): at zero redundancy every subset
+    # fits exactly (zero residuals), so the "most consistent" pick is
+    # arbitrary and often keeps the fault
+    nclk = len(sol.clk_sys) if sol.clk_sys else 1
+    while sol.nsat >= 5 + nclk and \
+            float(np.max(np.abs(sol.resid))) > raim_thresh:
         # a biased measurement leaks into every post-fit residual, so the
         # largest residual does not reliably mark the faulty satellite:
         # try each single exclusion and keep the most consistent subset
@@ -94,39 +98,49 @@ def spp_solve(obs_list, ephs: dict, x0=None, max_iter: int = 10,
 def _spp_once(obs_list, ephs: dict, x0, max_iter: int) -> SppSolution:
     use = [(o, ephs[(o.sys, o.prn)]) for o in obs_list
            if (o.sys, o.prn) in ephs]
-    if len(use) < 4:
+    # one receiver-clock parameter PER SYSTEM: GPS-GLONASS pseudoranges
+    # carry an inter-system bias (hardware/FDMA delays in real receivers;
+    # in this framework also the half-chip nearest-neighbour convention,
+    # whose time value differs per chip rate: 0.5/1.023M vs 0.5/0.511M s
+    # = 146.8 m).  Standard practice (RTKLIB estimates GLONASS ICB too).
+    syss = sorted({o.sys for o, _ in use})
+    nclk = len(syss)
+    sysi = {s: 3 + j for j, s in enumerate(syss)}
+    if len(use) < 3 + nclk:
         return SppSolution(False, np.zeros(3), 0.0, np.zeros(0),
                            len(use), 0)
     t_rx = gpst2time(use[0][0].week, use[0][0].tow)
-    x = np.zeros(4)
+    x = np.zeros(3 + nclk)
     if x0 is not None:
         x[:3] = x0
     sats = []
     for o, e in use:
         rs, dts, tau = _sat_pos_at_tx(o, e, t_rx)
         rs = _sagnac(rs, tau)
-        sats.append((rs, dts, o.P))
+        sats.append((rs, dts, o.P, sysi[o.sys]))
     it = 0
     for it in range(1, max_iter + 1):
-        H = np.zeros((len(sats), 4))
+        H = np.zeros((len(sats), 3 + nclk))
         v = np.zeros(len(sats))
-        for k, (rs, dts, P) in enumerate(sats):
+        for k, (rs, dts, P, j) in enumerate(sats):
             d = x[:3] - rs
             r = float(np.linalg.norm(d))
             H[k, :3] = d / r
-            H[k, 3] = 1.0
-            v[k] = P + CLIGHT * dts - (r + x[3])
+            H[k, j] = 1.0
+            v[k] = P + CLIGHT * dts - (r + x[j])
         dx, *_ = np.linalg.lstsq(H, v, rcond=None)
         x += dx
         if float(np.linalg.norm(dx)) < 1e-4:
             break
     resid = np.array([P + CLIGHT * dts
-                      - (float(np.linalg.norm(x[:3] - rs)) + x[3])
-                      for rs, dts, P in sats])
+                      - (float(np.linalg.norm(x[:3] - rs)) + x[j])
+                      for rs, dts, P, j in sats])
     sol = SppSolution(True, x[:3].copy(), float(x[3]), resid,
                       len(sats), it)
+    sol.clk_sys = {s: float(x[sysi[s]]) for s in syss}
     sol.dop = _dops(H, x[:3])
-    sol.vel, sol.clk_drift = _vel_solve(use, sats, x[:3], t_rx)
+    sol.vel, sol.clk_drift = _vel_solve(
+        use, [s[:3] for s in sats], x[:3], t_rx)
     return sol
 
 

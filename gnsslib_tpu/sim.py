@@ -234,8 +234,9 @@ def geometry_scenario(ephs, rcv_ecef, tow_obs: float, tow0: float,
         rate = taup - taum                        # s/s
         t_obs = tow_obs - tow0                    # stream time of the epoch
         delay0 = tau - rate * t_obs               # linear anchor at tow_obs
-        crate = 1.023e6
-        out.append(dict(prn=prn, tau=tau, rs=rs, elev=elev,
+        # chip rate by constellation (GLONASS G1: 511 kcps)
+        crate = 0.511e6 if not hasattr(ep, "A") else 1.023e6
+        out.append(dict(prn=prn, tau=tau, rs=rs, elev=elev, rate=rate,
                         doppler=rate * FREQ1,
                         code_phase=-delay0 * crate))
     return out
@@ -291,16 +292,38 @@ def g1_string_bits(sid: int, fields) -> np.ndarray:
         np.int64)
 
 
+def _g1_signmag(v: float, scale: float, nbits: int) -> int:
+    """GLONASS ICD sign-magnitude field: MSB = sign, rest = magnitude
+    (inverse of nav.bits.getbits_glo)."""
+    mag = int(round(abs(v) / scale))
+    mag = min(mag, (1 << (nbits - 1)) - 1)
+    return ((1 << (nbits - 1)) | mag) if v < 0 else mag
+
+
 def g1_symbol_stream(t0_gpst, nframes: int = 3, iode: int = 44,
-                     slot: int = 13) -> np.ndarray:
+                     slot: int = 13, geph=None) -> np.ndarray:
     """GLONASS G1 line-symbol stream (±1 at 100 sps): real 15-string /
     30-second frames with tk advancing per frame, so merge_g1 recovers
     ``t0_gpst + 30*k`` as frame-k start (GLONASS ICD superframe layout;
     strings 6-15 are almanac filler the decoder skips).  Feed as nav_bits
-    with nav_ms=10."""
+    with nav_ms=10.
+
+    ``geph``: optional Geph whose state vector (pos/vel/acc, m), taun,
+    gamn are encoded into strings 1-4 on the ICD grids — quantize the
+    source with :func:`quantize_geph` first so decode == truth."""
     from .gtime import timeadd
-    from .nav.glonass import TIMEMARK_G1, encode_string_g1
+    from .nav.glonass import (P2_11, P2_20, P2_30, P2_40, TIMEMARK_G1,
+                              encode_string_g1)
     out = []
+    sv = [[], [], [], []]
+    if geph is not None:
+        for ax in range(3):
+            sv[ax] = [
+                (21, 24, _g1_signmag(geph.vel[ax] / 1000.0, P2_20, 24)),
+                (45, 5, _g1_signmag(geph.acc[ax] / 1000.0, P2_30, 5)),
+                (50, 27, _g1_signmag(geph.pos[ax] / 1000.0, P2_11, 27))]
+        sv[3] = [(5, 22, _g1_signmag(geph.taun, P2_30, 22)),
+                 (27, 5, _g1_signmag(geph.dtaun, P2_30, 5))]
     for fr in range(nframes):
         h, m, s30, nt, n4 = glonass_time_fields(
             timeadd(t0_gpst, 30.0 * fr))
@@ -308,13 +331,28 @@ def g1_symbol_stream(t0_gpst, nframes: int = 3, iode: int = 44,
             # field carries the Moscow-time hour; the decoder subtracts
             # the 3 h bias (src/sdrnav_glo.c:30)
             g1_string_bits(1, [(9, 5, h), (14, 6, m),
-                               (20, 1, s30 // 30)]),
-            g1_string_bits(2, [(9, 7, iode)]),
-            g1_string_bits(3, []),
-            g1_string_bits(4, [(59, 11, nt), (70, 5, slot)]),
+                               (20, 1, s30 // 30)] + sv[0]),
+            g1_string_bits(2, [(9, 7, iode)] + sv[1]),
+            g1_string_bits(3, [(6, 11, _g1_signmag(
+                geph.gamn, P2_40, 11)) if geph is not None
+                else (6, 11, 0)] + sv[2]),
+            g1_string_bits(4, [(59, 11, nt), (70, 5, slot)] + sv[3]),
             g1_string_bits(5, [(49, 5, n4)]),
         ] + [g1_string_bits(6 + k, []) for k in range(10)]
         for st in strings:
             out.append(encode_string_g1(st))
             out.append(TIMEMARK_G1)
     return np.concatenate(out).astype(np.int8)
+
+
+def quantize_geph(geph) -> None:
+    """Snap a Geph's broadcast fields to the GLONASS ICD grids IN PLACE
+    (what a real broadcast would carry; makes sim->decode exact)."""
+    from .nav.glonass import P2_11, P2_20, P2_30, P2_40
+    for ax in range(3):
+        geph.pos[ax] = round(geph.pos[ax] / 1000.0 / P2_11) * P2_11 * 1000
+        geph.vel[ax] = round(geph.vel[ax] / 1000.0 / P2_20) * P2_20 * 1000
+        geph.acc[ax] = round(geph.acc[ax] / 1000.0 / P2_30) * P2_30 * 1000
+    geph.taun = round(geph.taun / P2_30) * P2_30
+    geph.gamn = round(geph.gamn / P2_40) * P2_40
+    geph.dtaun = round(geph.dtaun / P2_30) * P2_30

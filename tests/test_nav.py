@@ -325,3 +325,32 @@ def test_nav_params_cadence():
     assert (p.rate, p.flen, p.update) == (2, 1500, 1000)
     p = nav_params(CodeType.G1)
     assert (p.rate, p.flen, p.update) == (10, 200, 2000)
+
+
+def test_framer_g1_state_vector_roundtrip():
+    """g1_symbol_stream(geph=...) encodes the ICD state vector; the
+    framer decodes it back exactly after quantize_geph."""
+    import copy
+    from gnsslib_tpu import sim
+    from gnsslib_tpu.gtime import gpst2time
+    from gnsslib_tpu.nav.eph import Geph
+
+    g = Geph(pos=[11234567.891, -19876543.210, 12345678.9],
+             vel=[-1234.5678, 2345.6789, -987.6543],
+             acc=[-2.5e-6, 1.5e-6, 0.0],
+             taun=-4.2e-5, gamn=9.1e-13, dtaun=2.8e-9)
+    sim.quantize_geph(g)
+    t0 = gpst2time(2200, 352800.0 + 18.0)   # UTC+leap alignment arbitrary
+    sym = sim.g1_symbol_stream(t0, nframes=2, iode=44, slot=9, geph=g)
+    ip = _ip_stream_from_bits(sym, 10, noise=80.0, seed=12)
+    lead = _ip_stream_from_bits(np.tile([1, -1], 110), 10)
+    ip = np.concatenate([lead, ip])
+    nc = NavChannel(CodeType.G1, prn=0)
+    nc.update(ip, np.arange(len(ip), dtype=np.int64) * 511, 0)
+    assert nc.eph.geph.iode == 44 and nc.prn == 9
+    d = nc.eph.geph
+    np.testing.assert_allclose(d.pos, g.pos, atol=1e-6)
+    np.testing.assert_allclose(d.vel, g.vel, atol=1e-9)
+    np.testing.assert_allclose(d.acc, g.acc, atol=1e-12)
+    assert abs(d.taun - g.taun) < 1e-12
+    assert abs(d.gamn - g.gamn) < 1e-16
