@@ -420,16 +420,28 @@ class Receiver:
         t_rx = gpst2time(week, T_r + tau_r)      # GPS receive time at base
         remaining = []
         for ch in pend:
-            e = hub.ephs.get((ch.cfg.sys, ch.cfg.prn))
-            if e is None or ch.cfg.ctype != CodeType.L1CA:
+            if ch.cfg.ctype == CodeType.G1:
+                # GLONASS: assistance is keyed by slot; find a geph for
+                # this channel's FDMA number (geph.frq)
+                e = next((g for (s, _), g in hub.ephs.items()
+                          if s == ch.cfg.sys
+                          and getattr(g, "frq", None) == ch.cfg.prn), None)
+                f_cf = ch.cfg.f_cf
+            elif ch.cfg.ctype == CodeType.L1CA:
+                e = hub.ephs.get((ch.cfg.sys, ch.cfg.prn))
+                f_cf = FREQ1
+            else:
+                e = None
+            if e is None:
                 remaining.append(ch)
                 continue
             tau_t, rate = predict_range(e, pos, t_rx)
-            # sample of this satellite's next code-period boundary
+            # sample of this satellite's next code-period boundary (all
+            # L1 codes here are 1 ms periods on the ms transmit grid)
             T_tx_t = (T_r + tau_r) - tau_t
             ctime = float(self.trk.ctime[ch.idx])
             loc = int(round(((-T_tx_t) % ctime) / ti))
-            D = rate * FREQ1 + sol.clk_drift * FREQ1 / CLIGHT
+            D = rate * f_cf + sol.clk_drift * f_cf / CLIGHT
             self.state = self.trk.start_channels(
                 self.state, [ch.idx], [loc], [-D])
             self._cnt_host[ch.idx] = 0
@@ -539,6 +551,9 @@ class Receiver:
             if ch.nav.flagdec:
                 if ch.cfg.ctype == CodeType.G1:
                     if any(ch.nav.eph.geph.pos):
+                        # record the FDMA channel number (cfg.prn): the
+                        # hot start must find a slot's geph by fcn
+                        ch.nav.eph.geph.frq = ch.cfg.prn
                         self.hub.ephs[(ch.cfg.sys, ch.nav.prn)] = \
                             ch.nav.eph.geph
                 else:

@@ -113,11 +113,13 @@ def mixed_run(tmp_path_factory):
         outms=400, rinex=False, spp=True)
     rx = Receiver(cfg, FileFrontend(str(path), spec))
     rx.run_seconds()
-    return rx
+    info = dict(path=str(path), spec=spec, cfg=cfg, gps_geo=gps_geo,
+                g_glo=g_glo, glo=glo, f_cf_glo=f_cf_glo)
+    return rx, info
 
 
 def test_mixed_gps_glonass_position(mixed_run):
-    rx = mixed_run
+    rx, _ = mixed_run
     assert all(ch.nav.flagdec for ch in rx.channels), \
         [(ch.cfg.prn, ch.nav.flagdec) for ch in rx.channels]
     glo_ch = rx.channels[-1]
@@ -139,3 +141,55 @@ def test_mixed_gps_glonass_position(mixed_run):
     _, _, sol = rx.hub.solutions[-1]
     isb = sol.clk_sys[SYS_GLO] - sol.clk_sys[SYS_GPS]
     assert 100.0 < isb < 200.0, isb
+
+
+def test_hotstart_glonass(mixed_run):
+    """GLONASS hot start: with the G1 FFT acquisition suppressed and its
+    geph supplied as slot-keyed assistance (frq = FDMA number), the
+    receiver predicts the G1 code boundary and per-fcn Doppler from the
+    GPS-only fix and starts the channel directly."""
+    import copy
+    import dataclasses
+    from gnsslib_tpu.io.frontend import FileFrontend
+    from gnsslib_tpu.runtime.receiver import Receiver
+
+    rx0, info = mixed_run
+    cfg = dataclasses.replace(info["cfg"], hotstart=True)
+    rx = Receiver(cfg, FileFrontend(info["path"], info["spec"]))
+    glo_idx = len(rx.channels) - 1
+    orig = rx._acq_search
+
+    def suppress(data):
+        res = orig(data)
+        res.acquired[glo_idx] = False
+        return res
+    rx._acq_search = suppress
+    assist = copy.deepcopy(info["glo"])
+    assist.frq = GLO_FCN
+    rx.hub.ephs[(SYS_GLO, GLO_SLOT)] = assist
+    rx.run_seconds()
+
+    hot = [e for e in rx.events if e[0] == "hot"]
+    assert len(hot) == 1 and hot[0][2] == GLO_FCN, rx.events
+    _, t_hot, _, negD_pred, loc_pred = hot[0]
+    g = info["g_glo"]
+    D_sig = g["rate"] * info["f_cf_glo"]
+    # the hot start predicts the PHYSICAL Doppler at t_hot; the sim
+    # signal is the constant-Doppler tangent anchored at T_OBS, so the
+    # two legitimately diverge by LOS-acceleration * (T_OBS - t_hot)
+    # (~4 Hz/s for this zenith GLONASS sat).  What matters is staying
+    # inside the FLL pull-in range of the actual signal.
+    assert abs(-negD_pred - D_sig) < 80.0, (negD_pred, D_sig, t_hot)
+    base = int(round(t_hot * F_SF))
+    t0 = (base + loc_pred) / F_SF
+    crate_rx = 0.511e6 * (1.0 - D_sig / info["f_cf_glo"])
+    chips = (g["code_phase"] + crate_rx * t0) % 511.0
+    err_chips = min(chips, 511.0 - chips)
+    err_samples = err_chips * F_SF / 0.511e6
+    # G1 at ~8 samples/chip: DLL pull-in needs sub-chip accuracy
+    assert err_samples < 6.0, f"boundary error {err_samples:.2f} samples"
+    # functional: the hot-started channel pulls in and reaches bit sync
+    # (and usually full decode) in the remaining stream
+    glo_ch = rx.channels[-1]
+    assert glo_ch.locked and glo_ch.nav.flagsync, \
+        (glo_ch.locked, glo_ch.nav.flagsync)
