@@ -19,14 +19,31 @@ import time
 import numpy as np
 
 
+def _tpu_alive(timeout_s: float = 240.0) -> bool:
+    """Probe TPU initialization in a SUBPROCESS with a timeout:
+    jax.devices() can HANG (not raise) when the relay is down, which
+    would otherwise eat the whole bench budget."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return r.returncode == 0 and "ok" in r.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
 def main() -> int:
+    if not _tpu_alive():
+        # TPU tunnel unavailable/hung: still produce the metric on CPU so
+        # the record is not empty; the value is then NOT the TPU number.
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     try:
         jax.devices()
     except RuntimeError:
-        # TPU tunnel unavailable (transient "No jellyfish device" or held
-        # by another process): still produce the metric on CPU so the
-        # record is not empty; the value is then NOT the TPU number.
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from gnsslib_tpu import sim
