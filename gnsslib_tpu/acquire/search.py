@@ -119,6 +119,7 @@ class Acquirer:
             d_cps=jnp.asarray((k * step * self.ti).astype(np.float32)),
         )
         self._search = jax.jit(self._search_impl)
+        self._search_flat = jax.jit(self._search_flat_impl)
 
     # -- device program ------------------------------------------------------
     def _mix_one_channel(self, data, base_phase_c, d_cps):
@@ -206,6 +207,27 @@ class Acquirer:
     @functools.partial(jax.jit, static_argnums=0)
     def check(self, P, nsampchip):
         return self.check_impl(P, nsampchip)
+
+    def _search_flat_impl(self, data_flat, consts):
+        """Like _search_impl, but takes a FLAT (n[, 2]) sample array and
+        stacks the (intg, 2*nsamp) round windows in-program — so a block
+        already resident on device (io/devcache.py) feeds acquisition with
+        no host read or re-upload (the reference re-reads the ring per
+        round, src/sdracq.c:29-33)."""
+        nwin = 2 * self.nsamp
+        rounds = jnp.stack([
+            jax.lax.dynamic_slice_in_dim(data_flat, r * self.nsamp, nwin,
+                                         axis=0)
+            for r in range(self.intg)])
+        return self._search_impl(rounds, consts)
+
+    def search_dev(self, block) -> AcqResult:
+        """Acquisition over a device-resident float32 block (first
+        (intg+1)*nsamp samples used); host sees only the decision
+        vectors."""
+        _, codei, freqi, cn0, peakr, confirmed = self._search_flat(
+            block, self._consts)
+        return self.postprocess(codei, freqi, cn0, peakr, confirmed)
 
     # -- host API --------------------------------------------------------------
     def stack_rounds(self, data: np.ndarray) -> np.ndarray:

@@ -20,6 +20,7 @@ CLIGHT = 299792458.0  # speed of light (m/s)
 FREQ1 = 1.57542e9        # GPS/QZSS/SBAS L1 (Hz)
 FREQ2 = 1.22760e9        # GPS L2 (Hz)
 FREQ5 = 1.17645e9        # GPS L5 (Hz)
+FREQ1_CMP = 1.561098e9   # BeiDou B1 (Hz) — rtklib.h:84
 FREQ1_GLO = 1.60200e9    # GLONASS G1 base (Hz)
 DFRQ1_GLO = 0.56250e6    # GLONASS G1 FDMA channel spacing (Hz)
 FREQ2_GLO = 1.24600e9    # GLONASS G2 base (Hz)

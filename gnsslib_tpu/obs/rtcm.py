@@ -11,8 +11,9 @@ import math
 
 import numpy as np
 
-from ..constants import (CLIGHT, FREQ1, FREQ1_GLO, DFRQ1_GLO, SYS_GPS,
-                         SYS_GLO, SYS_QZS, SYS_SBS)
+from ..constants import (CLIGHT, FREQ1, FREQ1_CMP, FREQ1_GLO, DFRQ1_GLO,
+                         SYS_GPS, SYS_GLO, SYS_GAL, SYS_QZS, SYS_SBS,
+                         SYS_CMP)
 from ..gtime import gpst2utc, time2epoch, time2gpst, timeadd, timediff, \
     epoch2time
 from ..nav.bits import crc24q, setbitu, setbits
@@ -209,16 +210,23 @@ def encode_1020(prn: int, geph: Geph) -> bytes:
 
 # --- MSM7 (rtcm3e.c:1817-2310; single L1 C/A signal) --------------------------
 
-_MSM_TYPE = {SYS_GPS: 1077, SYS_GLO: 1087, SYS_QZS: 1117, SYS_SBS: 1107}
-_SIG_ID = 2   # "1C" for GPS/GLO/SBAS/QZS in the RTCM signal tables
+_MSM_TYPE = {SYS_GPS: 1077, SYS_GLO: 1087, SYS_GAL: 1097, SYS_QZS: 1117,
+             SYS_SBS: 1107, SYS_CMP: 1127}
+# signal id 2 = "1C" for GPS/GLO/GAL/SBAS/QZS, "1I" (B1) for BeiDou —
+# all at index 1 of their msm signal tables (reference
+# lib/RTKLIB/src/rtcm3.c:58-99)
+_SIG_ID = 2
 
 
 def _wavelength(sys: int, fcn: int) -> float:
-    """L1 wavelength; for GLONASS ``fcn`` is the FDMA frequency channel
-    number (-7..+6) — NOT the slot number (RTKLIB satwavelen uses
-    nav->geph[].frq the same way, rtkcmn.c)."""
+    """L1-band wavelength; for GLONASS ``fcn`` is the FDMA frequency
+    channel number (-7..+6) — NOT the slot number (RTKLIB satwavelen uses
+    nav->geph[].frq the same way, rtkcmn.c:3162-3189); BeiDou B1 sits at
+    1561.098 MHz."""
     if sys == SYS_GLO:
         return CLIGHT / (FREQ1_GLO + fcn * DFRQ1_GLO)
+    if sys == SYS_CMP:
+        return CLIGHT / FREQ1_CMP
     return CLIGHT / FREQ1
 
 
@@ -271,6 +279,10 @@ def encode_msm7(sys: int, obs_list, week: int, tow: float, staid: int = 0,
         dow = int(gtow // 86400.0)
         tod = _round((gtow % 86400.0) * 1000.0)
         u(30, (dow << 27) | (tod & 0x7FFFFFF))
+    elif sys == SYS_CMP:
+        # beidou msm epoch: BDT tow-ms (BDT = GPST - 14 s), per RTKLIB
+        # encode_msm_head (rtcm3e.c:1846-1849)
+        u(30, _round(((tow - 14.0) % 604800.0) * 1000.0))
     else:
         u(30, int(tow * 1000))
     u(1, sync)

@@ -231,19 +231,25 @@ class Receiver:
     def __init__(self, cfg: ReceiverConfig, frontend, ftype: int = 1,
                  nsteps_per_block: int = 400, hub: OutputHub | None = None,
                  standalone: bool = True, pipeline: bool = True,
-                 mesh=None, channels=None, cache=None):
+                 mesh=None, channels=None, cache=None,
+                 pipeline_depth: int = 2):
         self.cfg = cfg
         self.frontend = frontend
         self.standalone = standalone
         # steady-state pipelining (FastTracker.run_block_start/collect):
-        # dispatch block k+1 before collecting block k's telemetry so the
-        # device->host transfer and all host-side nav/obs work overlap the
-        # next block's device compute.  Engaged only when every locked
-        # channel is bit-synced (no host->device nav feedback pending) and
-        # relock is off (loss-of-lock must reset state before the next
-        # dispatch); costs one block of nav/output latency.
+        # keep up to ``pipeline_depth`` blocks in flight, collecting the
+        # oldest only when the queue is full, so each block's device->host
+        # transfer (a full relay round trip) AND its host-side nav/obs
+        # work overlap the next blocks' device compute.  Engaged only when
+        # every locked channel is bit-synced (no host->device nav feedback
+        # pending); loss-of-lock (relock) tolerates the deferred
+        # detection — the faded channel is reset up to ``depth`` blocks
+        # late, during which it was integrating noise either way, and its
+        # in-flight telemetry is discarded via the locked-at-dispatch
+        # flags.  Costs ``depth`` blocks of nav/output latency.
         self.pipeline = pipeline
-        self._pending = None          # (handle, base, cnt0) of last block
+        self.pipeline_depth = max(1, int(pipeline_depth))
+        self._pending = []            # FIFO of (handle, base, cnt0, locked0)
         spec = cfg.fends[ftype - 1]
         self.spec = spec
         chans = (list(channels) if channels is not None else
@@ -365,7 +371,15 @@ class Receiver:
         if not pend:
             return
         need = (self.acq.intg + 2) * self.nsamp
-        res = self._acq_search(self.frontend.read(self.base, need))
+        if (self._acq_search is self.acq.search
+                and self.block_len >= need):
+            # the tracking block at self.base is already device-resident
+            # (io/devcache.py): search it in place — no host read, no
+            # re-upload, only the decision vectors come back
+            res = self.acq.search_dev(
+                self.cache.get(self.base, self.block_len))
+        else:
+            res = self._acq_search(self.frontend.read(self.base, need))
         for ch in pend:
             i = ch.idx
             ch.last_acq_attempt = t_stream
@@ -394,6 +408,11 @@ class Receiver:
         hub = self.hub
         if not self.cfg.hotstart or not hub.solutions:
             return pend
+        # the prediction anchors on the reference channel's NEWEST history
+        # record: collect in-flight pipelined blocks first, or the anchor
+        # is pipeline_depth blocks stale and the extrapolated code phase
+        # drifts out of pull-in range
+        self.flush()
         ref = next((c for c in self.channels if c.locked and c.nav.flagdec
                     and c.cfg.ctype == CodeType.L1CA
                     and c.hist.nrec > 0), None)
@@ -516,17 +535,33 @@ class Receiver:
     def _check_lock(self, ch, out, base: int) -> None:
         """Loss-of-lock detection (absent in the reference — a channel
         that fades keeps integrating noise forever, SURVEY.md §5); gated
-        by ReceiverConfig.relock.  Declares loss when the prompt coherent
-        sum stays below the noise-consistent threshold for a whole block,
-        then resets the channel to reacquire."""
+        by ReceiverConfig.relock.
+
+        Self-calibrating test: the outermost correlator tap pair sits
+        ±corrn·corrd samples from prompt — outside the ±1-chip
+        correlation triangle for standard geometries (iffile.ini: 18
+        samples = 1.125 chips), so those taps integrate NOISE ONLY and
+        measure the instantaneous noise floor at the exact coherent
+        length.  Lock is lost when the block-median prompt magnitude
+        falls within 2x of that floor (a present signal at the ~33 dB-Hz
+        tracking threshold still clears 3x).  When the geometry puts the
+        outer taps inside the triangle (corrn·corrd < ~1.1 chips), fall
+        back to a dropout ratio against the remembered peak prompt."""
         i = ch.idx
         upd = out.flagloopfilter[:, i] == 2
         if not np.any(upd):
             return
-        p = np.abs(out.sum_i[upd, i, 0]) + np.abs(out.sum_q[upd, i, 0])
-        # coherent prompt over `loop` periods: lock keeps |sum| well above
-        # the single-period noise scale; use a relative dropout test
-        if np.median(p) < 0.05 * max(ch.peak_prompt, 1e-9):
+        mag = lambda t: (np.abs(out.sum_i[upd, i, t])
+                         + np.abs(out.sum_q[upd, i, t]))
+        p_med = float(np.median(mag(0)))
+        outer_chips = (self.cfg.track.corrn * self.cfg.track.corrd
+                       * float(self.trk.crate[i]) / self.spec.f_sf)
+        if outer_chips >= 1.05:
+            noise = float(np.median(np.concatenate([mag(-2), mag(-1)])))
+            lost = p_med < 2.0 * noise
+        else:
+            lost = p_med < 0.15 * max(ch.peak_prompt, 1e-9)
+        if lost:
             ch.locked = False
             ch.synced = False
             ch.nav = NavChannel(ch.cfg.ctype, ch.cfg.prn,
@@ -536,7 +571,7 @@ class Receiver:
             self._events.append(("lol", base / self.spec.f_sf,
                                 ch.cfg.prn))
         else:
-            ch.peak_prompt = max(ch.peak_prompt, float(np.median(p)))
+            ch.peak_prompt = max(ch.peak_prompt, p_med)
 
     # ------------------------------------------------------------------ #
     def collect_obs_inputs(self) -> list[ChannelObsInput]:
@@ -657,9 +692,9 @@ class Receiver:
                     and self.nsteps % self.fast.L == 0
                     and all(ch.synced for ch in self.channels
                             if ch.locked))
-        pipelined = (use_fast and self.pipeline and not self.cfg.relock)
+        pipelined = use_fast and self.pipeline
         if not pipelined:
-            # the in-flight block (if any) may feed nav state the slow
+            # the in-flight blocks (if any) may feed nav state the slow
             # path depends on (bit sync of a just-acquired channel uses
             # other channels only through the shared clock — but keep
             # strict order regardless)
@@ -670,10 +705,9 @@ class Receiver:
         if pipelined:
             self.state, handle = self._fast_eng.run_block_start(
                 self.state, block, self.nsteps)
-            prev = self._pending
-            self._pending = (handle, self.base, cnt0, locked0)
-            if prev is not None:
-                self._collect(*prev)
+            self._pending.append((handle, self.base, cnt0, locked0))
+            while len(self._pending) > self.pipeline_depth:
+                self._collect(*self._pending.pop(0))
         else:
             eng = self._fast_eng if use_fast else self._slow_eng
             self.state, out = eng.run_block(self.state, block, self.nsteps)
@@ -690,10 +724,10 @@ class Receiver:
         self._emit_epochs()
 
     def flush(self) -> None:
-        """Finalize the in-flight pipelined block (no-op when none)."""
-        if self._pending is not None:
-            prev, self._pending = self._pending, None
-            self._collect(*prev)
+        """Finalize the in-flight pipelined blocks (no-op when none)."""
+        pending, self._pending = self._pending, []
+        for p in pending:
+            self._collect(*p)
 
     def close(self) -> None:
         """Flush pending work and close output files."""

@@ -12,12 +12,14 @@ import threading
 
 class TcpServer:
     def __init__(self, port: int, host: str = "0.0.0.0"):
-        self.port = port
         self._clients: list[socket.socket] = []
         self._lock = threading.Lock()
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._srv.bind((host, port))
+        # port 0 = OS-assigned ephemeral port (tests under pytest-xdist
+        # collide on fixed ports); expose the bound port either way
+        self.port = self._srv.getsockname()[1]
         self._srv.listen()
         self._stop = False
         self._thread = threading.Thread(target=self._accept_loop,

@@ -139,11 +139,13 @@ def _build_rtcm_oracle(tmp_path):
     for unit in ("rtkcmn", "rtcm", "rtcm2", "rtcm3", "rtcm3e"):
         obj = str(tmp_path / (unit + ".o"))
         subprocess.run(["gcc", "-c", "-O2", "-w", "-DENAGLO", "-DENAQZS",
+                        "-DENAGAL", "-DENACMP",
                         "-I" + rtk, os.path.join(rtk, unit + ".c"),
                         "-o", obj], check=True, capture_output=True)
         objs.append(obj)
     exe = str(tmp_path / "rtcm_oracle")
-    subprocess.run(["gcc", "-O2", "-w", "-DENAGLO", "-DENAQZS", "-I" + rtk,
+    subprocess.run(["gcc", "-O2", "-w", "-DENAGLO", "-DENAQZS",
+                    "-DENAGAL", "-DENACMP", "-I" + rtk,
                     os.path.join(shim, "rtcm_oracle.c"), *objs,
                     "-o", exe, "-lm", "-lpthread"],
                    check=True, capture_output=True)
@@ -169,8 +171,9 @@ def test_rtcm_messages_decode_exactly_via_rtklib(tmp_path):
     their broadcast scale grids; within field LSBs for MSM)."""
     import pytest
     from gnsslib_tpu import sim
-    from gnsslib_tpu.constants import (CLIGHT, FREQ1, FREQ1_GLO, DFRQ1_GLO,
-                                       SYS_GPS, SYS_GLO, SYS_QZS, SYS_SBS)
+    from gnsslib_tpu.constants import (CLIGHT, FREQ1, FREQ1_CMP, FREQ1_GLO,
+                                       DFRQ1_GLO, SYS_GPS, SYS_GLO, SYS_GAL,
+                                       SYS_QZS, SYS_SBS, SYS_CMP)
     from gnsslib_tpu.gtime import gpst2time
     from gnsslib_tpu.nav.eph import Geph
     from gnsslib_tpu.obs.rtcm import (encode_1019, encode_1020, encode_1044,
@@ -210,19 +213,27 @@ def test_rtcm_messages_decode_exactly_via_rtklib(tmp_path):
                 -3)]
     qzs_obs = [(195, 37000000.0, 37000000.0 / lam_gps + 7.25, -321.5, 42.0)]
     sbs_obs = [(129, 38000000.0, 38000000.0 / lam_gps - 3.5, 12.5, 38.0)]
+    # GAL E1 shares the L1 frequency; BeiDou B1 sits at 1561.098 MHz —
+    # MSM7 1097/1127 (the reference's sync thread sends all five,
+    # src/sdrout.c:343-366)
+    lam_cmp = CLIGHT / FREQ1_CMP
+    gal_obs = [(11, 24500000.0, 24500000.0 / lam_gps + 41.75, 876.5, 43.0)]
+    cmp_obs = [(8, 36500000.0, 36500000.0 / lam_cmp - 11.25, -654.5, 41.0)]
 
     payload = (encode_1019(9, eph) + encode_1044(195, qeph)
                + encode_1020(5, g)
                + encode_msm7(SYS_GPS, gps_obs, week, tow)
                + encode_msm7(SYS_GLO, glo_obs, week, tow)
                + encode_msm7(SYS_QZS, qzs_obs, week, tow)
-               + encode_msm7(SYS_SBS, sbs_obs, week, tow))
+               + encode_msm7(SYS_SBS, sbs_obs, week, tow)
+               + encode_msm7(SYS_GAL, gal_obs, week, tow)
+               + encode_msm7(SYS_CMP, cmp_obs, week, tow))
     recs = _oracle_decode(exe, week, tow - 10.0, payload)
 
     ephs = [r for k, r in recs if k == "EPH"]
     gephs = [r for k, r in recs if k == "GEPH"]
     obs = [r for k, r in recs if k == "OBS"]
-    assert len(ephs) == 2 and len(gephs) == 1 and len(obs) == 5
+    assert len(ephs) == 2 and len(gephs) == 1 and len(obs) == 7
 
     for dec, enc, prn in ((ephs[0], eph, 9), (ephs[1], qeph, 195)):
         assert dec["prn"] == prn
@@ -246,7 +257,7 @@ def test_rtcm_messages_decode_exactly_via_rtklib(tmp_path):
     assert d["gamn"] == pytest.approx(g.gamn, rel=1e-12)
 
     sysmap = {SYS_GPS: gps_obs, SYS_GLO: glo_obs, SYS_QZS: qzs_obs,
-              SYS_SBS: sbs_obs}
+              SYS_SBS: sbs_obs, SYS_GAL: gal_obs, SYS_CMP: cmp_obs}
     seen = {}
     for r in obs:
         seen.setdefault(int(r["sys"]), []).append(r)
@@ -263,7 +274,8 @@ def test_rtcm_messages_decode_exactly_via_rtklib(tmp_path):
             assert r["L"] == pytest.approx(L, abs=1e-3)
             assert r["D"] == pytest.approx(D, abs=1e-3)
             assert r["S"] == pytest.approx(S, abs=0.26)
-            assert r["code"] == 1.0   # CODE_L1C
+            # CODE_L1C except BeiDou "1I" = CODE_L1I (rtkcmn.c obscodes)
+            assert r["code"] == (47.0 if sysid == SYS_CMP else 1.0)
 
 
 def test_rinex_obs_records_byte_exact_vs_rtklib(tmp_path):
@@ -280,11 +292,13 @@ def test_rinex_obs_records_byte_exact_vs_rtklib(tmp_path):
     for unit in ("rtkcmn", "rinex"):
         obj = str(tmp_path / (unit + ".o"))
         subprocess.run(["gcc", "-c", "-O2", "-w", "-DENAGLO", "-DENAQZS",
+                        "-DENAGAL", "-DENACMP",
                         "-I" + rtk, os.path.join(rtk, unit + ".c"),
                         "-o", obj], check=True, capture_output=True)
         objs.append(obj)
     exe = str(tmp_path / "rinex_obs_oracle")
-    subprocess.run(["gcc", "-O2", "-w", "-DENAGLO", "-DENAQZS", "-I" + rtk,
+    subprocess.run(["gcc", "-O2", "-w", "-DENAGLO", "-DENAQZS",
+                    "-DENAGAL", "-DENACMP", "-I" + rtk,
                     os.path.join(shim, "rinex_obs_oracle.c"), *objs,
                     "-o", exe, "-lm", "-lpthread"],
                    check=True, capture_output=True)

@@ -204,7 +204,7 @@ def test_pipelined_matches_sequential(if_file):
     rx_s = mk(False)
     rx_p.run_seconds(seconds=20.0)
     rx_s.run_seconds(seconds=20.0)
-    assert rx_p._pending is None
+    assert rx_p._pending == []
     assert rx_p.events == rx_s.events
     assert rx_p.epochs_written == rx_s.epochs_written > 0
     assert rx_p.ephs_written == rx_s.ephs_written

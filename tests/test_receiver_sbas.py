@@ -20,7 +20,14 @@ TOWREF = 352818.0
 SBAS_PRN, SBAS_DELAY = 129, 700
 GPS_PRN, GPS_DELAY = 7, 200
 SECONDS = 16.0
-PORT = 39913
+def _free_port() -> int:
+    """OS-assigned free port (fixed ports collide under pytest-xdist)."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+PORT = _free_port()
 
 
 def _sbas_symbol_stream(nmsgs: int):

@@ -74,9 +74,9 @@ def test_msm7_header_and_ranges():
 
 
 def test_tcp_server_broadcast():
-    srv = TcpServer(0 if False else 39871)
+    srv = TcpServer(0)            # ephemeral port; srv.port = bound port
     try:
-        cli = socket.create_connection(("127.0.0.1", 39871), timeout=2)
+        cli = socket.create_connection(("127.0.0.1", srv.port), timeout=2)
         t0 = time.time()
         while srv.nclients == 0 and time.time() - t0 < 2:
             time.sleep(0.01)
