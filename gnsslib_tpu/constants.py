@@ -130,8 +130,8 @@ OBSINTERPN = 80       # observation history depth for interpolation
 SNSMOOTHMS = 100      # SNR smoothing interval (ms)
 
 # --- spectrum analysis (sdr.h:228-237) ----------------------------------------
-SPEC_MS = 200
-SPEC_LEN = 7
+SPEC_MS = 200            # diagnostics refresh cadence (sdr.h:229)
+SPEC_LEN = 7             # spectrum integration span, ms (sdr.h:230)
 SPEC_BITN = 8
 SPEC_NLOOP = 100
 SPEC_NFFT = 16384

@@ -29,12 +29,13 @@ class FrontendSpec:
     f_if: float               # intermediate frequency (Hz)
     dtype: int                # DType.REAL / DType.IQ
     ftype: int = 1            # 1 or 2 (STEREO FE selection)
-    ppmerr: float = 0.0       # clock error; foffset = -ppmerr*1e-6*f_cf
-                              # applied like sdrinit.c:616-617
+    ppmerr: float = 0.0       # clock error; foffset = +ppmerr*1e-6*f_cf,
+                              # the reference's sign convention
+                              # (src/sdrinit.c:617: f_cf*rtlsdrppmerr*1e-6)
 
     @property
     def foffset(self) -> float:
-        return -self.ppmerr * 1e-6 * self.f_cf
+        return self.ppmerr * 1e-6 * self.f_cf
 
 
 # bytes consumed per output sample for each (fend, dtype, ftype)

@@ -53,6 +53,15 @@ class ObsHistory:
         self.D[0] = D
         self.nrec += 1
 
+    @staticmethod
+    def _prepend(a: np.ndarray, newest_first: np.ndarray) -> None:
+        """Shift the ring down by len(newest_first) and place the new
+        records at the top (index 0 = newest)."""
+        take = min(len(newest_first), len(a))
+        if take < len(a):
+            a[take:] = a[:-take].copy()      # overlapping shift
+        a[:take] = newest_first[:take]
+
     # ------------------------------------------------------------------ #
     def update(self, *, cnts, bufflocs, ns, dcarr, remcode, dcode,
                sum_i, flagloopfilter, remcarr,
@@ -67,43 +76,69 @@ class ObsHistory:
         ``remcode`` chips / ``remcarr`` cycles at period start,
         ``sum_i`` accumulated prompt-I taps (steps, ntaps),
         ``flagloopfilter`` 0/1/2.
+
+        Fully vectorized over the block's loop-filter events: the
+        per-event ring shift was the receiver's largest host cost
+        (~63 ms per 2 s block x 32 channels), on the critical path that
+        must overlap device compute.
         """
         upd = np.nonzero(np.asarray(flagloopfilter) == 2)[0]
-        for k in upd:
-            k = int(k)
-            tow = firstsftow + (int(cnts[k]) - firstsfcnt) * self.ctime
-            codefreq = self.crate + float(dcode[k])
-            remc_samp = float(remcode[k]) * self.f_sf / codefreq
-            D = -float(dcarr[k])
+        m = len(upd)
+        if m == 0:
+            return
+        cnts = np.asarray(cnts)
+        bufflocs = np.asarray(bufflocs)
+        tow_u = firstsftow + (cnts[upd] - firstsfcnt) * self.ctime
+        codefreq = self.crate + np.asarray(dcode)[upd]
+        remc_u = np.asarray(remcode)[upd] * self.f_sf / codefreq
+        D_u = -np.asarray(dcarr)[upd]
 
-            # one-time phase anchors (src/sdrtrk.c:180-196)
-            if not self._flag_remcarr_added:
-                self._L_acc -= float(remcarr[k]) * DPI / DPI  # cycles
-                self._flag_remcarr_added = True
-            if flagsyncf and not self._flag_polarity_added:
-                if polarity == 1:
-                    self._L_acc += 0.5
-                self._flag_polarity_added = True
-            # delta-range accumulation (src/sdrtrk.c:198)
-            self._L_acc += D * (self.loop * float(ns[k]) / self.f_sf)
+        # one-time phase anchors (src/sdrtrk.c:180-196), applied at the
+        # first event of this block only
+        anchor = 0.0
+        if not self._flag_remcarr_added:
+            anchor -= float(np.asarray(remcarr)[upd[0]])   # cycles
+            self._flag_remcarr_added = True
+        if flagsyncf and not self._flag_polarity_added:
+            if polarity == 1:
+                anchor += 0.5
+            self._flag_polarity_added = True
+        # delta-range accumulation (src/sdrtrk.c:198)
+        dL = D_u * (self.loop * np.asarray(ns)[upd] / self.f_sf)
+        L_u = self._L_acc + anchor + np.cumsum(dL)
+        self._L_acc = float(L_u[-1])
 
-            self._push(tow, int(bufflocs[k]), int(cnts[k]),
-                       remc_samp, self._L_acc, D)
+        for a, v in ((self.tow, tow_u), (self.codei, bufflocs[upd]),
+                     (self.cnt, cnts[upd]), (self.remc, remc_u),
+                     (self.L, L_u), (self.D, D_u)):
+            self._prepend(a, v[::-1])
+        self.nrec += m
 
-            # SNR smoothing every SNSMOOTHMS (src/sdrtrk.c:200-208 with the
-            # snrflag cadence of src/sdrmain.c:284-288)
-            self._isum += abs(float(sum_i[k][0]))
-            if self._loopcnt % max(1, SNSMOOTHMS //
-                                   max(1, int(self.loop * self.ctime * 1000))
-                                   ) == 0:
-                self.S[1:] = self.S[:-1]
-                self.codeisum[1:] = self.codeisum[:-1]
+        # SNR smoothing every SNSMOOTHMS (src/sdrtrk.c:200-208 with the
+        # snrflag cadence of src/sdrmain.c:284-288): segment sums of
+        # |prompt I| between cadence firings, carried across blocks
+        kappa = max(1, SNSMOOTHMS //
+                    max(1, int(self.loop * self.ctime * 1000)))
+        a_i = np.abs(np.asarray(sum_i)[upd, 0])
+        fire = np.nonzero((self._loopcnt + np.arange(m)) % kappa == 0)[0]
+        if len(fire):
+            c = np.cumsum(a_i)
+            s_vals = np.empty(len(fire))
+            isum = self._isum
+            last = -1
+            for j, idx in enumerate(fire):
+                isum += c[idx] - (c[last] if last >= 0 else 0.0)
                 with np.errstate(divide="ignore"):
-                    self.S[0] = (10.0 * np.log(self._isum / 100.0 / 100.0)
+                    s_vals[j] = (10.0 * np.log(isum / 100.0 / 100.0)
                                  + np.log(500.0) + 5.0)
-                self.codeisum[0] = int(bufflocs[k])
-                self._isum = 0.0
-            self._loopcnt += 1
+                isum = 0.0
+                last = idx
+            self._isum = float(isum + c[-1] - c[last])
+            self._prepend(self.S, s_vals[::-1])
+            self._prepend(self.codeisum, bufflocs[upd[fire]][::-1])
+        else:
+            self._isum += float(a_i.sum())
+        self._loopcnt += m
 
     @property
     def full(self) -> bool:

@@ -128,6 +128,24 @@ def main(argv=None) -> int:
         if not args.quiet:
             print(f"spectrum diagnostics: {outdir}/spectrum.npz"
                   + (f", {p1}, {p2}" if p1 else " (matplotlib absent)"))
+        # live view during the run (reference specthread cadence,
+        # src/sdrspec.c:29-110): the receiver's SpectrumMonitor refreshes
+        # *_live.png in place — a file-based stand-in for the gnuplot
+        # window; throttled to every 5th frame (~1 s of stream)
+        mons = [r.spec_monitor for r in getattr(rx, "rx", [rx])
+                if getattr(r, "spec_monitor", None) is not None]
+        if mons and p1:
+            nseen = [0]
+
+            def _live_view(frame, _outdir=outdir):
+                nseen[0] += 1
+                if nseen[0] % 5:
+                    return
+                plot_spectrum(frame.freq_hz, frame.pspec_db,
+                              _os.path.join(_outdir, "spectrum_live.png"))
+                plot_histogram(frame.hist_edges, frame.hist_counts,
+                               _os.path.join(_outdir, "histogram_live.png"))
+            mons[0].on_frame = _live_view
     if not args.quiet:
         print(f"erlang-gnss-tpu: {len(rx.channels)} channels, "
               f"f_sf={spec.f_sf/1e6:.3f} MHz, f_if={spec.f_if/1e6:.3f} MHz, "

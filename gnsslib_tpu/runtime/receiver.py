@@ -299,7 +299,12 @@ class Receiver:
         if cache is not None and cache.block_len == self.block_len:
             self.cache = cache
         else:
-            self.cache = DeviceBlockCache(frontend, self.block_len)
+            # live sources: short segments (4 blocks) bound the catch-up
+            # latency of each segment upload; file replay auto-sizes to
+            # whole-capture HBM residency
+            seg = 4 if getattr(frontend, "is_live", False) else None
+            self.cache = DeviceBlockCache(frontend, self.block_len,
+                                          seg_blocks=seg)
         self.base = 0                      # abs sample index of block start
         self.channels = []
         for i, c in enumerate(chans):
@@ -329,6 +334,14 @@ class Receiver:
                 self.loggers[ch.idx] = TrackLogger(
                     cfg.logpath, sid, cfg.track.corrn, cfg.track.corrd,
                     float(self.trk.crate[ch.idx]), spec.f_if)
+        # live diagnostics on the reference spectrum-thread cadence
+        # (SPEC_MS=200 ms refresh, src/sdrspec.c:29-110), stream-time paced
+        self.spec_monitor = None
+        if cfg.spec:
+            from ..constants import DType
+            from ..diag.monitor import SpectrumMonitor
+            self.spec_monitor = SpectrumMonitor(
+                frontend, spec.f_sf, spec.dtype == DType.IQ)
         self._events = []
         # composite receivers (MultiReceiver) set this to the merged
         # channel list, so cross-channel lookups (the SBAS week borrow,
@@ -684,6 +697,8 @@ class Receiver:
         device compute.  Call :meth:`flush` (run_seconds does) to finalize
         the last in-flight block."""
         advance = self.nsteps * self.nsamp
+        if self.spec_monitor is not None:
+            self.spec_monitor.maybe_update(self.base)
         self._try_acquire()
         if not any(ch.locked for ch in self.channels):
             self.base += advance
@@ -746,6 +761,33 @@ class Receiver:
             epochs=self.epochs_written, ephs=self.ephs_written,
         )
 
+    def run_live(self, seconds: float | None = None,
+                 poll_s: float = 0.02, progress=None) -> dict:
+        """Stream from a LIVE frontend (ProcessFrontend/StreamFrontend):
+        step whenever the producer is a block ahead, sleep-poll while it
+        catches up (the reference's sleepms(1) wait, src/sdrtrk.c:30-50),
+        stop at producer EOF or after ``seconds`` of stream time."""
+        t_start = time.time()
+        target = (None if seconds is None
+                  else int(seconds * self.spec.f_sf))
+        nblocks = 0
+        while True:
+            if target is not None and \
+                    self.base + self.nsteps * self.nsamp > target:
+                break
+            avail = self.frontend.nsamples
+            if self.can_step(avail):
+                self.step_block()
+                nblocks += 1
+                if progress:
+                    progress(self.base / self.spec.f_sf)
+            elif getattr(self.frontend, "eof", False):
+                break
+            else:
+                time.sleep(poll_s)
+        self.flush()
+        return self._summary(t_start, nblocks)
+
     def run_seconds(self, seconds: float | None = None,
                     progress=None) -> dict:
         """Process the stream (whole file by default).  Returns summary
@@ -799,6 +841,15 @@ class MultiReceiver:
         merged = [ch for r in self.rx for ch in r.channels]
         for r in self.rx:
             r.peer_channels = merged
+        # one spectrum monitor per physical frontend (cadence groups share
+        # the RF path; recomputing the same spectrum per group is waste)
+        seen_fe = set()
+        for r in self.rx:
+            if r.spec_monitor is not None:
+                if id(r.frontend) in seen_fe:
+                    r.spec_monitor = None
+                else:
+                    seen_fe.add(id(r.frontend))
         t0 = self.rx[0].nsteps * self.rx[0].nsamp / self.rx[0].spec.f_sf
         for r in self.rx[1:]:
             t = r.nsteps * r.nsamp / r.spec.f_sf

@@ -27,6 +27,7 @@ class SimChannel:
     prn: int
     ctype: int = CodeType.L1CA
     doppler: float = 0.0          # receiver-convention Doppler D (Hz)
+    doppler_rate: float = 0.0     # Doppler rate dD/dt (Hz/s; dynamics)
     code_phase: float = 0.0       # code phase at t=0 (chips, [0, clen))
     carr_phase: float = 0.0       # carrier phase at t=0 (cycles)
     amplitude: float = 1.0
@@ -56,9 +57,10 @@ def synthesize(channels, f_sf: float, f_if: float, dtype: int,
         code, crate = codes.gencode(ch.prn, ch.ctype)
         clen = len(code)
         # code Doppler consistent with carrier aiding:
-        # received code rate = crate * (1 - D / f_cf)
-        crate_rx = crate * (1.0 - ch.doppler / ch.f_cf)
-        chips = ch.code_phase + crate_rx * t
+        # received code rate = crate * (1 - D(t) / f_cf) with
+        # D(t) = doppler + doppler_rate * t; chips = integral of the rate
+        dphi = ch.doppler * t + 0.5 * ch.doppler_rate * t * t
+        chips = ch.code_phase + crate * (t - dphi / ch.f_cf)
         chip_idx = np.floor(chips).astype(np.int64)
         c = code[np.mod(chip_idx, clen)].astype(np.float64)
         if ch.nav_bits is not None:
@@ -66,9 +68,10 @@ def synthesize(channels, f_sf: float, f_if: float, dtype: int,
             bit_idx = np.floor(chips / bit_period_chips).astype(np.int64)
             c = c * np.asarray(ch.nav_bits, dtype=np.float64)[
                 np.mod(bit_idx, len(ch.nav_bits))]
-        # receiver acquires at carrfreq = f_if + foffset - D
-        f_carr = f_if + ch.foffset - ch.doppler
-        phase = 2.0 * np.pi * (f_carr * t + ch.carr_phase)
+        # receiver acquires at carrfreq = f_if + foffset - D; the phase
+        # integrates the instantaneous Doppler (ramp term for dynamics)
+        phase = 2.0 * np.pi * ((f_if + ch.foffset) * t - dphi
+                               + ch.carr_phase)
         if dtype == DType.IQ:
             # receiver mixes by e^{+j 2π f̂ t}; signal must be e^{-jφ}
             out[:, 0] += ch.amplitude * c * np.cos(phase)
@@ -90,6 +93,19 @@ def noise_std_for_cn0(amplitude: float, cn0_dbhz: float, f_sf: float,
     """
     cn0 = 10.0 ** (cn0_dbhz / 10.0)
     return amplitude * np.sqrt(f_sf / (2.0 * cn0))
+
+
+def quantize_rtlsdr(x: np.ndarray, scale: float = 16.0) -> np.ndarray:
+    """(n, 2) float I/Q -> interleaved RTL-SDR u8 bytes.
+
+    Encoded so the stream decode — ``(char)(u8 - 127.5)`` truncation
+    toward zero (reference rtlsdr.c:136-143, io/formats.unpack_rtlsdr) —
+    recovers ``clip(round(x*scale), -127, 127)`` exactly.
+    """
+    q = np.clip(np.round(np.asarray(x, np.float64) * scale),
+                -127, 127).astype(np.int32)
+    u8 = np.where(q >= 0, q + 128, q + 127).astype(np.uint8)
+    return u8.reshape(-1)
 
 
 def quantize_int8(x: np.ndarray, scale: float = 16.0) -> np.ndarray:

