@@ -40,6 +40,9 @@ class AcqResult:
     cn0: np.ndarray        # C/N0 estimate (dB-Hz)
     peakr: np.ndarray      # first/second peak ratio
     confirmed: np.ndarray = None  # even/odd-round peak agreement (bool)
+    P: object = None       # (C, F, nsamp) power surface DEVICE handle
+                           # (search_dev(diag=True); fetch per channel —
+                           # the reference's pltacq view, sdrmain.c:258)
 
 
 class Acquirer:
@@ -221,13 +224,17 @@ class Acquirer:
             for r in range(self.intg)])
         return self._search_impl(rounds, consts)
 
-    def search_dev(self, block) -> AcqResult:
+    def search_dev(self, block, diag: bool = False) -> AcqResult:
         """Acquisition over a device-resident float32 block (first
         (intg+1)*nsamp samples used); host sees only the decision
-        vectors."""
-        _, codei, freqi, cn0, peakr, confirmed = self._search_flat(
+        vectors.  With ``diag`` the (C, F, nsamp) power surface handle is
+        attached (stays on device until a channel's view is fetched)."""
+        P, codei, freqi, cn0, peakr, confirmed = self._search_flat(
             block, self._consts)
-        return self.postprocess(codei, freqi, cn0, peakr, confirmed)
+        res = self.postprocess(codei, freqi, cn0, peakr, confirmed)
+        if diag:
+            res.P = P
+        return res
 
     # -- host API --------------------------------------------------------------
     def stack_rounds(self, data: np.ndarray) -> np.ndarray:

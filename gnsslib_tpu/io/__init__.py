@@ -13,11 +13,17 @@ from .formats import (unpack_int8, unpack_rtlsdr, unpack_gn3s_v2,
                       unpack_gn3s_v3_2bit, unpack_gn3s_v3_4bit,
                       unpack_stereo_fe1, unpack_stereo_fe2, unpack_bladerf)
 from .frontend import FileFrontend, FrontendSpec
-from .live import (LiveFrontend, ProcessFrontend, StreamFrontend,
-                   StreamOverrun)
+from .live import (LiveFrontend, ProcessFrontend, RingView,
+                   StreamFrontend, StreamOverrun)
+from .bladerf import BladeRfFrontend
+from .gn3s import Gn3sFrontend
+from .rtlsdr import RtlSdrFrontend
+from .stereo import StereoFrontend
 
-__all__ = ["LiveFrontend", "ProcessFrontend", "StreamFrontend",
-           "StreamOverrun",
+__all__ = ["LiveFrontend", "ProcessFrontend", "RingView",
+           "StreamFrontend", "StreamOverrun",
+           "RtlSdrFrontend", "BladeRfFrontend", "Gn3sFrontend",
+           "StereoFrontend",
            "unpack_int8", "unpack_rtlsdr", "unpack_gn3s_v2",
            "unpack_gn3s_v3_2bit", "unpack_gn3s_v3_4bit",
            "unpack_stereo_fe1", "unpack_stereo_fe2", "unpack_bladerf",

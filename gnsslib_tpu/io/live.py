@@ -95,6 +95,22 @@ class SampleRing:
             return bytes(out)
 
 
+def ring_read(ring: SampleRing, spec: FrontendSpec, bps: int, start: int,
+              n: int, timeout_s: float, byte0: int = 0) -> np.ndarray:
+    """Decode samples [start, start+n) from a live ring: the shared
+    consumer path of every in-process driver binding (the reference's
+    rcvgetbuff dispatch, src/sdrrcv.c:406-467).  ``byte0`` shifts the
+    byte origin (GN3S v2 packet-shift realignment)."""
+    raw = ring.read_span(byte0 + start * bps, byte0 + (start + n) * bps,
+                         timeout_s)
+    got = len(raw) // bps
+    x = _unpack(spec, raw[:got * bps])
+    if got < n:
+        pad = np.zeros((n - got,) + x.shape[1:], np.float32)
+        x = np.concatenate([x, pad], axis=0)
+    return x
+
+
 class LiveFrontend:
     """Abstract live front end: subclass binds a capture source."""
 
@@ -109,6 +125,32 @@ class LiveFrontend:
     @property
     def nsamples(self) -> int:                          # pragma: no cover
         raise NotImplementedError
+
+
+class RingView(LiveFrontend):
+    """A second RF path decoded from ANOTHER front end's ring: the NSL
+    STEREO packs FE1 (2-bit real) and FE2 (dual 3-bit I/Q) into the SAME
+    byte stream (src/rcv/stereo/stereo.c:160-205), so a dual-path
+    receiver reads one USB stream through two views."""
+
+    def __init__(self, owner: "LiveFrontend", spec: FrontendSpec):
+        super().__init__(spec)
+        self.owner = owner
+        self.ring = owner.ring
+        self.bps = _bytes_per_sample(spec)
+        self.timeout_s = owner.timeout_s
+
+    @property
+    def eof(self) -> bool:
+        return self.ring.eof
+
+    @property
+    def nsamples(self) -> int:
+        return self.ring.produced // self.bps
+
+    def read(self, start: int, n: int) -> np.ndarray:
+        return ring_read(self.ring, self.spec, self.bps, start, n,
+                         self.timeout_s, getattr(self.owner, "_byte0", 0))
 
 
 class ProcessFrontend(LiveFrontend):

@@ -24,23 +24,39 @@ from ..track.loop import Tracker, TrackOutputs
 from ..track.state import TrackState
 
 
+def _pad_ch(tree, npad: int, axis: int = 0):
+    """Pad every leaf's channel axis by repeating the last channel.
+
+    Lets a C-channel program run on a mesh whose axis size does not
+    divide C (e.g. 13 channels on 8 devices): the padded replicas track
+    a copy of the last channel and their outputs are sliced off before
+    anything host-side sees them."""
+    if npad == 0:
+        return tree
+    import jax.numpy as jnp
+
+    def f(x):
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (0, npad)
+        return jnp.pad(x, pad, mode="edge")
+    return jax.tree_util.tree_map(f, tree)
+
+
 class ShardedTracker:
     """Wraps a Tracker: state/consts sharded over the mesh channel axis,
     sample block replicated; per-step outputs come back channel-sharded."""
 
     def __init__(self, tracker: Tracker, mesh: Mesh, axis: str = "ch"):
         n = mesh.shape[axis]
-        if tracker.C % n:
-            raise ValueError(f"C={tracker.C} not divisible by mesh "
-                             f"axis {axis}={n}")
         self.trk = tracker
         self.mesh = mesh
         self.axis = axis
+        self._npad = (-tracker.C) % n      # channels added to fill the mesh
         self._shard_ch = NamedSharding(mesh, P(axis))
+        consts = _pad_ch(tracker._consts, self._npad)
         self._consts = jax.device_put(
-            tracker._consts,
-            jax.tree_util.tree_map(lambda _: self._shard_ch,
-                                   tracker._consts))
+            consts,
+            jax.tree_util.tree_map(lambda _: self._shard_ch, consts))
         self._jit_cache = {}
 
     # pass-throughs -------------------------------------------------------- #
@@ -76,21 +92,22 @@ class ShardedTracker:
         return jfn
 
     def run_block(self, state: TrackState, block, nsteps: int):
-        carry = self.trk._state_to_dict(state)
+        C = self.trk.C
+        carry = _pad_ch(self.trk._state_to_dict(state), self._npad)
         carry = jax.device_put(
             carry, jax.tree_util.tree_map(lambda _: self._shard_ch, carry))
         import jax.numpy as jnp
         block = jnp.asarray(block)
         carry, outs = self._sharded_fn(int(nsteps))(carry, block,
                                                     self._consts)
+        if self._npad:
+            carry = jax.tree_util.tree_map(lambda x: x[:C], carry)
         new_state = self.trk._dict_to_state(carry, state)
         if jax.process_count() > 1:
             # multi-controller: shards live on other hosts too
             from jax.experimental import multihost_utils
             outs = multihost_utils.process_allgather(outs, tiled=True)
-            outs = {k: np.asarray(v) for k, v in outs.items()}
-        else:
-            outs = {k: np.asarray(v) for k, v in outs.items()}
+        outs = {k: np.asarray(v)[:, :C] for k, v in outs.items()}
         return new_state, TrackOutputs(**outs)
 
 
@@ -104,19 +121,17 @@ class ShardedFastTracker:
 
     def __init__(self, fast, mesh: Mesh, axis: str = "ch"):
         n = mesh.shape[axis]
-        if fast.trk.C % n:
-            raise ValueError(f"C={fast.trk.C} not divisible by mesh "
-                             f"axis {axis}={n}")
         self.fast = fast
         self.trk = fast.trk
         self.L = fast.L
         self.mesh = mesh
         self.axis = axis
+        self._npad = (-fast.trk.C) % n
         self._shard_ch = NamedSharding(mesh, P(axis))
         shard = lambda t: jax.device_put(
             t, jax.tree_util.tree_map(lambda _: self._shard_ch, t))
-        self._consts = shard(fast._consts)
-        self._fconsts = shard(fast._fconsts)
+        self._consts = shard(_pad_ch(fast._consts, self._npad))
+        self._fconsts = shard(_pad_ch(fast._fconsts, self._npad))
         self._jit_cache = {}
 
     # pass-throughs -------------------------------------------------------- #
@@ -150,17 +165,21 @@ class ShardedFastTracker:
         if nsteps % self.L:
             raise ValueError(f"nsteps must be a multiple of L={self.L}")
         import jax.numpy as jnp
-        carry = self.trk._state_to_dict(state)
+        carry = _pad_ch(self.trk._state_to_dict(state), self._npad)
         carry = jax.device_put(
             carry, jax.tree_util.tree_map(lambda _: self._shard_ch, carry))
         carry, packf, packi = self._sharded_fn(nsteps // self.L)(
             carry, jnp.asarray(block), self._consts, self._fconsts)
+        if self._npad:
+            carry = jax.tree_util.tree_map(lambda x: x[:self.trk.C], carry)
         return self.trk._dict_to_state(carry, state), (packf, packi)
 
     def run_block_collect(self, handle) -> TrackOutputs:
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
             handle = multihost_utils.process_allgather(handle, tiled=True)
+        if self._npad:
+            handle = tuple(a[:, :self.trk.C] for a in handle)
         return self.fast.run_block_collect(handle)
 
     def run_block(self, state: TrackState, block, nsteps: int):
@@ -175,14 +194,16 @@ class ShardedAcquirer:
 
     def __init__(self, acq: Acquirer, mesh: Mesh, axis: str = "ch"):
         n = mesh.shape[axis]
-        if acq.C % n:
-            raise ValueError(f"C={acq.C} not divisible by mesh axis")
         self.acq = acq
         self.mesh = mesh
         self.axis = axis
+        self._npad = (-acq.C) % n
         shard_ch = NamedSharding(mesh, P(axis))
+        consts = dict(acq._consts)
+        for k in ("codex_ri", "nsampchip", "base_phase"):
+            consts[k] = _pad_ch(consts[k], self._npad)
         self._consts = jax.device_put(
-            acq._consts,
+            consts,
             dict(codex_ri=shard_ch, nsampchip=shard_ch,
                  base_phase=shard_ch,
                  d_cps=NamedSharding(mesh, P())))
@@ -199,6 +220,8 @@ class ShardedAcquirer:
 
     def search(self, data: np.ndarray) -> AcqResult:
         import jax.numpy as jnp
+        C = self.acq.C
         _, codei, freqi, cn0, peakr, confirmed = self._fn(
             jnp.asarray(self.acq.stack_rounds(data)), self._consts)
-        return self.acq.postprocess(codei, freqi, cn0, peakr, confirmed)
+        return self.acq.postprocess(codei[:C], freqi[:C], cn0[:C],
+                                    peakr[:C], confirmed[:C])

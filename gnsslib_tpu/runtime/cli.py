@@ -10,9 +10,33 @@ import argparse
 import os
 import sys
 
+from ..constants import FrontendType as FT
 from ..io.frontend import FileFrontend
 from .config import load_ini
 from .receiver import build_receiver
+
+# live FEND types -> in-process driver bindings (src/sdrrcv.c:20-90)
+_LIVE_FENDS = (FT.STEREO, FT.GN3SV2, FT.GN3SV3, FT.RTLSDR, FT.BLADERF)
+
+
+def _make_live_frontend(spec, built: list):
+    """Instantiate the in-process driver for a live FEND type.  The
+    STEREO second RF path is a view over FE1's byte stream (both paths
+    are packed in one byte, src/rcv/stereo/stereo.c:160-205)."""
+    if spec.fend == FT.STEREO:
+        from ..io.stereo import StereoFrontend
+        for fe in built:                     # FE2 rides FE1's ring
+            if isinstance(fe, StereoFrontend):
+                return fe.fe2(spec)
+        return StereoFrontend(spec)
+    if spec.fend == FT.RTLSDR:
+        from ..io.rtlsdr import RtlSdrFrontend
+        return RtlSdrFrontend(spec)
+    if spec.fend == FT.BLADERF:
+        from ..io.bladerf import BladeRfFrontend
+        return BladeRfFrontend(spec)
+    from ..io.gn3s import Gn3sFrontend
+    return Gn3sFrontend(spec)
 
 
 def _honor_jax_platforms() -> None:
@@ -80,6 +104,17 @@ def main(argv=None) -> int:
     use_ftypes = ch_ftypes if dual else [args.ftype or (ch_ftypes or [1])[0]]
     fes = []
     for ft in use_ftypes:
+        spec_ft = cfg.fends[ft - 1]
+        if spec_ft.fend in _LIVE_FENDS:
+            # live capture: in-process driver binding (the reference's
+            # rcvinit dispatch, src/sdrrcv.c:20-90; vendor library
+            # located via GNSSLIB_*_LIB / system paths)
+            try:
+                fes.append(_make_live_frontend(spec_ft, fes))
+            except OSError as e:
+                print(f"error: live front end: {e}", file=sys.stderr)
+                return 1
+            continue
         path = cfg.files[ft - 1] if len(cfg.files) >= ft else ""
         if not path:
             # packed dual-path formats (STEREO) carry both RF paths in
@@ -89,7 +124,7 @@ def main(argv=None) -> int:
             print("error: no IF file configured (FILE1/FILE2)",
                   file=sys.stderr)
             return 1
-        fes.append(FileFrontend(path, cfg.fends[ft - 1]))
+        fes.append(FileFrontend(path, spec_ft))
     spec = fes[0].spec
     fe = fes[0]
     mesh = None
@@ -134,7 +169,9 @@ def main(argv=None) -> int:
         # window; throttled to every 5th frame (~1 s of stream)
         mons = [r.spec_monitor for r in getattr(rx, "rx", [rx])
                 if getattr(r, "spec_monitor", None) is not None]
+        parts = getattr(rx, "rx", [rx])
         if mons and p1:
+            from ..diag.plots import plot_acq_surface, plot_correlator
             nseen = [0]
 
             def _live_view(frame, _outdir=outdir):
@@ -145,11 +182,33 @@ def main(argv=None) -> int:
                               _os.path.join(_outdir, "spectrum_live.png"))
                 plot_histogram(frame.hist_edges, frame.hist_counts,
                                _os.path.join(_outdir, "histogram_live.png"))
+                # correlator tap shapes (reference plttrk cadence,
+                # src/sdrmain.c:293-299)
+                for r in parts:
+                    for prn, cv in r.corr_views.items():
+                        plot_correlator(
+                            cv["offsets"], cv["mag"],
+                            _os.path.join(_outdir, f"corr_{prn:02d}.png"),
+                            title=f"PRN {prn} taps @ {cv['t']:.1f}s")
             mons[0].on_frame = _live_view
+
+            def _acq_view(ch, view, _outdir=outdir):
+                # acquisition surface at lock (reference pltacq,
+                # src/sdrmain.c:258-261)
+                plot_acq_surface(
+                    view["surface"], view["dopp_hz"],
+                    _os.path.join(_outdir, f"acq_{ch.cfg.prn:02d}.png"),
+                    title=(f"PRN {ch.cfg.prn} acq @ {view['t']:.1f}s "
+                           f"C/N0 {view['cn0']:.1f} dB-Hz"))
+            for r in parts:
+                r.on_acq = _acq_view
+    live = any(getattr(f, "is_live", False) for f in fes)
     if not args.quiet:
+        src = ("live capture" if live else
+               f"{fe.nsamples/spec.f_sf:.1f} s of IF data")
         print(f"erlang-gnss-tpu: {len(rx.channels)} channels, "
               f"f_sf={spec.f_sf/1e6:.3f} MHz, f_if={spec.f_if/1e6:.3f} MHz, "
-              f"{fe.nsamples/spec.f_sf:.1f} s of IF data")
+              f"{src}")
 
     def progress(t):
         if not args.quiet:
@@ -158,12 +217,13 @@ def main(argv=None) -> int:
             print(f"\r  t={t:7.1f}s locked={locked} decoded={dec} "
                   f"epochs={rx.epochs_written}", end="", flush=True)
 
+    runner = rx.run_live if live else rx.run_seconds
     if args.profile:
         import jax
         with jax.profiler.trace(args.profile):
-            stats = rx.run_seconds(args.seconds, progress=progress)
+            stats = runner(args.seconds, progress=progress)
     else:
-        stats = rx.run_seconds(args.seconds, progress=progress)
+        stats = runner(args.seconds, progress=progress)
     if args.checkpoint:
         rx.save_checkpoint(args.checkpoint)
     if not args.quiet:

@@ -277,13 +277,17 @@ class Receiver:
         # multi-chip: channel-sharded engines over a jax mesh (SPMD, no
         # collectives in steady state — SURVEY.md §2.4); host nav/obs and
         # the stream cursor are unchanged
-        self._slow_eng, self._fast_eng, self._acq_search = \
-            self.trk, self.fast, self.acq.search
+        self._slow_eng, self._fast_eng = self.trk, self.fast
+        self._acq_backend = self.acq.search   # host-data path
+        self._acq_search = self._acq_dispatch  # the override point
+        # device-resident block search only on the unsharded path (the
+        # sharded acquirer handles its own device placement)
+        self._acq_dev_ok = mesh is None
         if mesh is not None:
             from ..parallel import (ShardedAcquirer, ShardedFastTracker,
                                     ShardedTracker)
             self._slow_eng = ShardedTracker(self.trk, mesh)
-            self._acq_search = ShardedAcquirer(self.acq, mesh).search
+            self._acq_backend = ShardedAcquirer(self.acq, mesh).search
             if self.fast is not None:
                 self._fast_eng = ShardedFastTracker(self.fast, mesh)
         self.state = self.trk.init_state()
@@ -343,6 +347,12 @@ class Receiver:
             self.spec_monitor = SpectrumMonitor(
                 frontend, spec.f_sf, spec.dtype == DType.IQ)
         self._events = []
+        # live diagnostics hooks: acquisition surface per acquired PRN
+        # (pltacq) and last correlator tap shape per PRN (plttrk,
+        # src/sdrmain.c:293-299) — populated when the monitor is on
+        self.acq_views = {}
+        self.corr_views = {}
+        self.on_acq = None
         # composite receivers (MultiReceiver) set this to the merged
         # channel list, so cross-channel lookups (the SBAS week borrow,
         # src/sdrnav_sbs.c:124-127) see every group's channels
@@ -374,6 +384,21 @@ class Receiver:
         return self.hub.nav_writer
 
     # ------------------------------------------------------------------ #
+    def _acq_dispatch(self) -> "AcqResult":
+        """One acquisition pass over the current stream position — the
+        single override point (tests intercept it to suppress channels).
+        Unsharded receivers search the device-resident cache block in
+        place (no host read, no re-upload, only decision vectors return;
+        with the diagnostics monitor on, the power-surface handle rides
+        along for the pltacq view, src/sdrmain.c:258-261); the sharded /
+        small-block path reads host samples for the sharded program."""
+        need = (self.acq.intg + 2) * self.nsamp
+        if self._acq_dev_ok and self.block_len >= need:
+            return self.acq.search_dev(
+                self.cache.get(self.base, self.block_len),
+                diag=self.spec_monitor is not None)
+        return self._acq_backend(self.frontend.read(self.base, need))
+
     def _try_acquire(self) -> None:
         t_stream = self.base / self.spec.f_sf
         pend = [ch for ch in self.channels if not ch.locked and
@@ -383,16 +408,7 @@ class Receiver:
         pend = self._try_hotstart(pend, t_stream)
         if not pend:
             return
-        need = (self.acq.intg + 2) * self.nsamp
-        if (self._acq_search is self.acq.search
-                and self.block_len >= need):
-            # the tracking block at self.base is already device-resident
-            # (io/devcache.py): search it in place — no host read, no
-            # re-upload, only the decision vectors come back
-            res = self.acq.search_dev(
-                self.cache.get(self.base, self.block_len))
-        else:
-            res = self._acq_search(self.frontend.read(self.base, need))
+        res = self._acq_search()
         for ch in pend:
             i = ch.idx
             ch.last_acq_attempt = t_stream
@@ -406,6 +422,14 @@ class Receiver:
                 self._events.append(
                     ("acq", t_stream, ch.cfg.prn, float(res.cn0[i]),
                      float(res.peakr[i])))
+                if res.P is not None:
+                    view = dict(surface=np.asarray(res.P[i]),
+                                dopp_hz=self.acq.dopp_hz,
+                                codei=int(res.codei[i]),
+                                cn0=float(res.cn0[i]), t=t_stream)
+                    self.acq_views[ch.cfg.prn] = view
+                    if self.on_acq is not None:
+                        self.on_acq(ch, view)
 
     def _try_hotstart(self, pend: list, t_stream: float) -> list:
         """Position/ephemeris-aided direct tracking handoff (HOTSTART=1;
@@ -514,6 +538,16 @@ class Receiver:
             if i in self.loggers:
                 self.loggers[i].log_block(out, i, ch.nav, ch.hist,
                                           int(cnt0[i]))
+            if self.spec_monitor is not None:
+                # both loop phases (prm1 pull-in and prm2 steady state)
+                # update the taps — plot whichever happened last
+                updr = np.nonzero(out.flagloopfilter[:, i] > 0)[0]
+                if len(updr):
+                    k = int(updr[-1])
+                    self.corr_views[ch.cfg.prn] = dict(
+                        offsets=np.asarray(self.trk.offsets),
+                        mag=np.hypot(out.sum_i[k, i], out.sum_q[k, i]),
+                        t=base / self.spec.f_sf)
             if self.cfg.relock and ch.synced:
                 self._check_lock(ch, out, base)
             if ch.nav.flagdec:
@@ -903,20 +937,14 @@ class MultiReceiver:
             r.flush()
         self.hub.close()
 
-    def run_seconds(self, seconds: float | None = None,
-                    progress=None) -> dict:
-        t_start = time.time()
-        ends = [r.end_sample(seconds) for r in self.rx]
-        nblocks = 0
-        while all(r.can_step(e) for r, e in zip(self.rx, ends)):
-            for r in self.rx:
-                r.step_block()
-            # merge both paths' ready channels into one epoch stream
-            self.hub.emit_epochs(
-                [ci for r in self.rx for ci in r.collect_obs_inputs()])
-            nblocks += 1
-            if progress:
-                progress(self.rx[0].base / self.rx[0].spec.f_sf)
+    def _step_all(self) -> None:
+        for r in self.rx:
+            r.step_block()
+        # merge both paths' ready channels into one epoch stream
+        self.hub.emit_epochs(
+            [ci for r in self.rx for ci in r.collect_obs_inputs()])
+
+    def _finish(self, t_start: float, nblocks: int) -> dict:
         for r in self.rx:
             r.flush()
         self.hub.emit_epochs(
@@ -934,6 +962,45 @@ class MultiReceiver:
                      if ch.nav.flagdec],
             epochs=self.hub.epochs_written, ephs=self.hub.ephs_written,
         )
+
+    def run_seconds(self, seconds: float | None = None,
+                    progress=None) -> dict:
+        t_start = time.time()
+        ends = [r.end_sample(seconds) for r in self.rx]
+        nblocks = 0
+        while all(r.can_step(e) for r, e in zip(self.rx, ends)):
+            self._step_all()
+            nblocks += 1
+            if progress:
+                progress(self.rx[0].base / self.rx[0].spec.f_sf)
+        return self._finish(t_start, nblocks)
+
+    def run_live(self, seconds: float | None = None,
+                 poll_s: float = 0.02, progress=None) -> dict:
+        """Live-capture lockstep: step every group once all its producer
+        rings are a block ahead; sleep-poll while any catches up (the
+        reference's sleepms wait, src/sdrtrk.c:30-50); stop at producer
+        EOF or after ``seconds`` of stream time."""
+        t_start = time.time()
+        r0 = self.rx[0]
+        target = None if seconds is None else int(seconds * r0.spec.f_sf)
+        nblocks = 0
+        while True:
+            if target is not None and \
+                    r0.base + r0.nsteps * r0.nsamp > target:
+                break
+            ready = [r.can_step(r.frontend.nsamples) for r in self.rx]
+            if all(ready):
+                self._step_all()
+                nblocks += 1
+                if progress:
+                    progress(r0.base / r0.spec.f_sf)
+            elif any(getattr(r.frontend, "eof", False)
+                     for r, ok in zip(self.rx, ready) if not ok):
+                break
+            else:
+                time.sleep(poll_s)
+        return self._finish(t_start, nblocks)
 
 
 class DualReceiver(MultiReceiver):

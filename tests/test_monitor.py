@@ -40,3 +40,17 @@ def test_spectrum_monitor_cadence(tmp_path):
     assert f0.hist_counts.sum() == int(0.007 * F_SF)
     pk = f0.freq_hz[np.argmax(f0.pspec_db)]
     assert abs(pk - F_IF) < 0.05e6, pk
+    # acquisition surface captured at lock (reference pltacq view): the
+    # peak cell should sit at the acquired code phase
+    assert 5 in rx.acq_views
+    v = rx.acq_views[5]
+    assert v["surface"].shape == (rx.acq.nfreq, rx.acq.nsamp)
+    f_pk, c_pk = np.unravel_index(np.argmax(v["surface"]),
+                                  v["surface"].shape)
+    assert abs(int(c_pk) - v["codei"]) <= 2
+    # correlator tap shape tracked live (reference plttrk view): prompt
+    # tap dominates in lock
+    assert 5 in rx.corr_views
+    cv = rx.corr_views[5]
+    assert cv["mag"].shape == cv["offsets"].shape
+    assert np.argmax(cv["mag"]) == 0       # tap order [P, E1, L1, ...]

@@ -102,6 +102,62 @@ def test_sharded_fast_tracker_matches_single():
     assert o2.ip.shape == out_a.ip.shape
 
 
+def test_sharded_uneven_channels():
+    """C not divisible by the mesh axis: the wrappers pad the channel
+    axis (repeating the last channel) and slice outputs back — results
+    must still match the single-device program exactly."""
+    from gnsslib_tpu.parallel import ShardedFastTracker
+    from gnsslib_tpu.track import FastTracker
+
+    cu = 6                                 # 6 channels on 4 devices
+    cfg = TrackConfig(corrn=1, corrd=1, corrp=1)
+    prns = list(range(1, cu + 1))
+    trk = Tracker(cfg, prns, [CodeType.L1CA] * cu, F_SF, F_IF, DType.REAL)
+    mesh = make_mesh(4)
+    strk = ShardedTracker(trk, mesh)
+    assert strk._npad == 2
+    nsteps = 12
+    data = _signal(nsteps * trk.n_nom + trk.nwin + 8 * nsteps + 3000)
+    block = jnp.asarray(data)
+    st0 = trk.init_state()
+    st0 = trk.start_channels(st0, list(range(cu)), [10 * p for p in prns],
+                             [100.0 * p - 400.0 for p in prns])
+    st_a, out_a = trk.run_block(st0, block, nsteps)
+    st_b, out_b = strk.run_block(st0, block, nsteps)
+    assert out_b.ip.shape == out_a.ip.shape
+    np.testing.assert_allclose(out_a.ip, out_b.ip, rtol=1e-5, atol=1e-3)
+    np.testing.assert_array_equal(out_a.loc, out_b.loc)
+    np.testing.assert_allclose(np.asarray(st_a.remcode),
+                               np.asarray(st_b.remcode), atol=1e-6)
+
+    # fast path, 6 channels / 4 devices, pipelined API included
+    fast = FastTracker(trk, use_pallas=False)
+    sfast = ShardedFastTracker(fast, mesh)
+    nsteps = 40
+    for c in range(cu):
+        st0 = trk.set_bit_sync(st0, c, c % 10)
+    st_a, out_a = fast.run_block(st0, block, nsteps)
+    st_b, h = sfast.run_block_start(st0, block, nsteps)
+    out_b = sfast.run_block_collect(h)
+    assert out_b.ip.shape == out_a.ip.shape
+    np.testing.assert_allclose(out_a.ip, out_b.ip, rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(st_a.remcode),
+                               np.asarray(st_b.remcode), atol=1e-6)
+
+    # acquisition, 5 channels / 8 devices (more devices than channels)
+    ca = 5
+    acq = Acquirer(list(range(1, ca + 1)), [CodeType.L1CA] * ca,
+                   F_SF, F_IF, DType.REAL, intg=3)
+    sacq = ShardedAcquirer(acq, make_mesh(8))
+    assert sacq._npad == 3
+    adata = _signal((acq.intg + 2) * acq.nsamp)
+    ra, rb = acq.search(adata), sacq.search(adata)
+    np.testing.assert_array_equal(ra.codei, rb.codei)
+    np.testing.assert_array_equal(ra.freqi, rb.freqi)
+    np.testing.assert_allclose(ra.cn0, rb.cn0, rtol=1e-4)
+    np.testing.assert_array_equal(ra.acquired, rb.acquired)
+
+
 def test_receiver_over_mesh_matches_single(tmp_path):
     """Full Receiver with mesh=: channel-sharded acq + slow + fast engines
     produce the same events and epochs as the single-device receiver."""
@@ -150,3 +206,76 @@ def test_receiver_over_mesh_matches_single(tmp_path):
     assert [e[:3] for e in rx_m.events] == [e[:3] for e in rx_s.events]
     assert rx_m.epochs_written == rx_s.epochs_written
     assert sorted(ch.cfg.prn for ch in rx_m.channels if ch.locked) == prns
+
+
+def test_mixed_cadence_receiver_over_mesh(tmp_path):
+    """GPS (1 ms loop) + SBAS (2 ms loop) through build_receiver with a
+    mesh: two cadence groups, each with ONE channel, sharded over 4
+    devices (exercises channel padding end-to-end in the receiver);
+    both groups must lock, decode nav, and merge into common epochs."""
+    from gnsslib_tpu.constants import FrontendType
+    from gnsslib_tpu.io.frontend import FileFrontend, FrontendSpec
+    from gnsslib_tpu.nav.sbas import encode_sbas_message
+    from gnsslib_tpu.nav.viterbi import conv27_encode
+    from gnsslib_tpu.runtime.config import ReceiverConfig, ChannelConfig
+    from gnsslib_tpu.runtime.receiver import build_receiver
+    from gnsslib_tpu.track.state import TrackConfig
+    from gnsslib_tpu.constants import CodeType as CT
+
+    f_sf, f_if = 4.092e6, 1.023e6
+    towref, secs = 352818.0, 14.0
+    eph = sim.example_eph(prn=7, week=2200, toe_tow=towref)
+    frames = sim.lnav_bit_stream(eph, towref + 6.0, nframes=3)
+    pad = np.concatenate([np.tile([1, -1], 149), [1, 1]]).astype(np.int8)
+    gps = sim.SimChannel(prn=7, doppler=700.0, code_phase=-50.0,
+                         carr_phase=0.4,
+                         nav_bits=np.concatenate([pad, frames]))
+    # SBAS symbol stream: MT12 every 3rd message carries time
+    preambles = [0x53, 0x9A, 0xC6]
+    rng = np.random.default_rng(12)
+    msgs = []
+    for k in range(int(secs) + 2):
+        if k % 3 == 0:
+            payload = np.zeros(212, np.int64)
+            tow_field = int(towref) + k + 2
+            for i in range(20):
+                payload[107 - 14 + i] = (tow_field >> (19 - i)) & 1
+            wk = (2200 - 1024) & 0x3FF
+            for i in range(10):
+                payload[127 - 14 + i] = (wk >> (9 - i)) & 1
+            msgs.append(encode_sbas_message(12, payload, preambles[k % 3]))
+        else:
+            msgs.append(encode_sbas_message(63, rng.integers(0, 2, 212),
+                                            preambles[k % 3]))
+    bits01 = ((1 - np.concatenate(msgs)) // 2).astype(np.int64)
+    sym = conv27_encode(bits01)
+    sbas_syms = np.where(sym == 0, 1, -1).astype(np.int8)
+    sbas = sim.SimChannel(prn=129, ctype=CT.L1SBAS, doppler=-900.0,
+                          code_phase=-170.0, carr_phase=0.9, nav_ms=2.0,
+                          nav_bits=sbas_syms)
+    noise = sim.noise_std_for_cn0(1.0, 47.0, f_sf, DType.REAL)
+    path = tmp_path / "mix.bin"
+    n = int(secs * f_sf)
+    with open(path, "wb") as f:
+        for t0 in range(0, n, int(f_sf)):
+            x = sim.synthesize([gps, sbas], f_sf, f_if, DType.REAL,
+                               min(int(f_sf), n - t0), noise_std=noise,
+                               seed=7000 + t0, t0=t0)
+            sim.quantize_int8(x, 16.0).tofile(f)
+    spec = FrontendSpec(fend=FrontendType.FILE, f_cf=1.57542e9, f_sf=f_sf,
+                        f_if=f_if, dtype=DType.REAL)
+    cfg = ReceiverConfig(
+        channels=[ChannelConfig(prn=7),
+                  ChannelConfig(prn=129, sys=2, ctype=CT.L1SBAS)],
+        fends=[spec], files=[str(path)],
+        track=TrackConfig(corrn=4, corrd=2, corrp=2),
+        outms=400, rinex=False)
+    rx = build_receiver(cfg, FileFrontend(str(path), spec),
+                        mesh=make_mesh(4))
+    assert len(rx.rx) == 2                 # two cadence groups
+    rx.run_seconds()
+    locked = sorted(ch.cfg.prn for ch in rx.channels if ch.locked)
+    assert locked == [7, 129]
+    decoded = {ch.cfg.prn for ch in rx.channels if ch.nav.flagdec}
+    assert decoded == {7, 129}
+    assert rx.epochs_written > 0

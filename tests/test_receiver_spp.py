@@ -169,8 +169,8 @@ def test_hotstart_aided_handoff(spp_run):
     rx = Receiver(cfg, FileFrontend(path, spec))
     orig = rx._acq_search
 
-    def suppress(data):
-        res = orig(data)
+    def suppress():
+        res = orig()
         res.acquired[prns.index(blocked)] = False
         return res
     rx._acq_search = suppress

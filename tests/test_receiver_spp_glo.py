@@ -159,8 +159,8 @@ def test_hotstart_glonass(mixed_run):
     glo_idx = len(rx.channels) - 1
     orig = rx._acq_search
 
-    def suppress(data):
-        res = orig(data)
+    def suppress():
+        res = orig()
         res.acquired[glo_idx] = False
         return res
     rx._acq_search = suppress
