@@ -46,13 +46,32 @@ import os as _os
 # tracking programs can take minutes (especially via the TPU
 # remote-compile path); cache them across processes.  Opt out with
 # GNSSLIB_TPU_NO_CACHE=1.
+def _default_cache_dir() -> str:
+    """Machine-keyed cache path: XLA:CPU AOT entries bake in the host's
+    CPU feature set, and a cache written on one machine SIGILLs (or
+    error-spams) on another — key the directory by a CPU-flags hash."""
+    import hashlib
+    import platform
+    key = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    key += "_" + hashlib.sha1(
+                        line.encode()).hexdigest()[:10]
+                    break
+    except OSError:              # pragma: no cover - non-Linux
+        pass
+    return _os.path.expanduser(f"~/.cache/gnsslib_tpu_xla_{key}")
+
+
 if not _os.environ.get("GNSSLIB_TPU_NO_CACHE"):
     try:
         import jax as _jax
         _jax.config.update(
             "jax_compilation_cache_dir",
             _os.environ.get("GNSSLIB_TPU_CACHE_DIR",
-                            _os.path.expanduser("~/.cache/gnsslib_tpu_xla")))
+                            _default_cache_dir()))
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:            # pragma: no cover - jax-less install
         pass

@@ -223,5 +223,12 @@ class ShardedAcquirer:
         C = self.acq.C
         _, codei, freqi, cn0, peakr, confirmed = self._fn(
             jnp.asarray(self.acq.stack_rounds(data)), self._consts)
+        if jax.process_count() > 1:
+            # multi-controller: every host needs every channel's decision
+            # (each host runs the same receiver logic on the global view)
+            from jax.experimental import multihost_utils
+            codei, freqi, cn0, peakr, confirmed = \
+                multihost_utils.process_allgather(
+                    (codei, freqi, cn0, peakr, confirmed), tiled=True)
         return self.acq.postprocess(codei[:C], freqi[:C], cn0[:C],
                                     peakr[:C], confirmed[:C])

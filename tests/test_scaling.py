@@ -25,6 +25,19 @@ def test_multihost_demo_two_processes():
     assert "MULTIHOST OK" in r.stdout, r.stdout
 
 
+def test_multihost_full_receiver_two_processes():
+    """The FULL receiver (acq -> track -> nav decode -> obs -> RINEX)
+    across 2 coordinated processes on a global channel-sharded mesh:
+    both processes must lock+decode every satellite with identical
+    events, and process 0 (the sync-thread role, src/sdrsync.c) must
+    write RINEX — see tools/multihost_receiver_demo.py."""
+    r = subprocess.run(
+        [sys.executable, os.path.join(TOOLS, "multihost_receiver_demo.py")],
+        capture_output=True, text=True, timeout=1500)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "MULTIHOST RECEIVER OK" in r.stdout, r.stdout
+
+
 @pytest.mark.slow
 @pytest.mark.skipif("PYTEST_XDIST_WORKER" in os.environ,
                     reason="timing measurement; meaningless while other "
