@@ -15,6 +15,12 @@ The vendor library is located from ``GNSSLIB_BLADERF_LIB``, then
 ``ctypes.util.find_library("bladeRF")``, then the conventional sonames.
 Tests exercise the binding against a mock libbladeRF built from
 ``tools/mock_bladerf.c`` (no USB hardware in CI).
+
+ABI note: this binds the v1 libbladeRF API the reference bundles
+(src/rcv/bladerf/libbladeRF.h, 2014) — ``bladerf_set_frequency`` takes a
+uint32 and modules are the RX/TX enum.  libbladeRF 2.x widened frequency
+to uint64 and renamed modules to channels; point GNSSLIB_BLADERF_LIB at
+a v1 library (or adapt the ctypes signatures) for live hardware.
 """
 from __future__ import annotations
 
