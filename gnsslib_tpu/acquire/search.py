@@ -229,10 +229,28 @@ class Acquirer:
         (intg+1)*nsamp samples used); host sees only the decision
         vectors.  With ``diag`` the (C, F, nsamp) power surface handle is
         attached (stays on device until a channel's view is fetched)."""
+        return self.search_dev_collect(self.search_dev_start(block, diag))
+
+    def search_dev_start(self, block, diag: bool = False):
+        """Dispatch the device search WITHOUT reading the decision
+        vectors: returns an opaque handle of device arrays.  The receiver
+        uses this to overlap the acquisition program (and its result's
+        relay round trip) with tracking blocks — the reference instead
+        blocks each channel thread for the whole search
+        (src/sdracq.c:14-59)."""
         P, codei, freqi, cn0, peakr, confirmed = self._search_flat(
             block, self._consts)
+        return (P if diag else None, codei, freqi, cn0, peakr, confirmed)
+
+    def search_dev_collect(self, handle) -> AcqResult:
+        """Fetch a search_dev_start handle's decision vectors -> AcqResult
+        (blocks only until the acquisition program itself finished)."""
+        import jax
+        P, codei, freqi, cn0, peakr, confirmed = handle
+        codei, freqi, cn0, peakr, confirmed = jax.device_get(
+            (codei, freqi, cn0, peakr, confirmed))
         res = self.postprocess(codei, freqi, cn0, peakr, confirmed)
-        if diag:
+        if P is not None:
             res.P = P
         return res
 

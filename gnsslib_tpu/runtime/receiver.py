@@ -232,7 +232,7 @@ class Receiver:
                  nsteps_per_block: int = 400, hub: OutputHub | None = None,
                  standalone: bool = True, pipeline: bool = True,
                  mesh=None, channels=None, cache=None,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2, pipeline_acq: bool | None = None):
         self.cfg = cfg
         self.frontend = frontend
         self.standalone = standalone
@@ -250,6 +250,16 @@ class Receiver:
         self.pipeline = pipeline
         self.pipeline_depth = max(1, int(pipeline_depth))
         self._pending = []            # FIFO of (handle, base, cnt0, locked0)
+        # pipelined acquisition: dispatch the search, read the decision one
+        # block later (overlapped with tracking compute) instead of a
+        # blocking device->host read that drains the pipeline every
+        # ACQSLEEP retry.  Costs one block of lock latency on success; a
+        # no-lock search (the steady-state retry tax for absent PRNs)
+        # costs nothing.  Defaults to the telemetry pipelining flag.
+        self.pipeline_acq = (pipeline if pipeline_acq is None
+                             else bool(pipeline_acq))
+        # in-flight pipelined acquisition: (handle, base, t_disp, pend_idx)
+        self._acq_inflight = None
         spec = cfg.fends[ftype - 1]
         self.spec = spec
         chans = (list(channels) if channels is not None else
@@ -400,6 +410,15 @@ class Receiver:
         return self._acq_backend(self.frontend.read(self.base, need))
 
     def _try_acquire(self) -> None:
+        # collect a previous block's in-flight search first: its device
+        # compute (and the decision vectors' relay round trip) overlapped
+        # the tracking block(s) dispatched after it, instead of draining
+        # the pipeline the way a synchronous read would
+        if self._acq_inflight is not None:
+            handle, base_s, t_disp, pend_idx = self._acq_inflight
+            self._acq_inflight = None
+            self._apply_acq(self.acq.search_dev_collect(handle),
+                            base_s, t_disp, pend_idx)
         t_stream = self.base / self.spec.f_sf
         pend = [ch for ch in self.channels if not ch.locked and
                 t_stream - ch.last_acq_attempt >= ACQSLEEP / 1000.0 - 1e-9]
@@ -408,28 +427,63 @@ class Receiver:
         pend = self._try_hotstart(pend, t_stream)
         if not pend:
             return
-        res = self._acq_search()
         for ch in pend:
-            i = ch.idx
-            ch.last_acq_attempt = t_stream
-            if bool(res.acquired[i]):
-                ch.locked = True
-                ch.cn0 = float(res.cn0[i])
-                self.state = self.trk.start_channels(
-                    self.state, [i], [int(res.codei[i])],
-                    [float(res.dcarr[i])])
-                self._cnt_host[i] = 0
-                self._events.append(
-                    ("acq", t_stream, ch.cfg.prn, float(res.cn0[i]),
-                     float(res.peakr[i])))
-                if res.P is not None:
-                    view = dict(surface=np.asarray(res.P[i]),
-                                dopp_hz=self.acq.dopp_hz,
-                                codei=int(res.codei[i]),
-                                cn0=float(res.cn0[i]), t=t_stream)
-                    self.acq_views[ch.cfg.prn] = view
-                    if self.on_acq is not None:
-                        self.on_acq(ch, view)
+            ch.last_acq_attempt = t_stream     # retry cadence anchors at
+        need = (self.acq.intg + 2) * self.nsamp   # dispatch (ACQSLEEP)
+        if (self.pipeline_acq and self._acq_dev_ok
+                and self.block_len >= need
+                and getattr(self._acq_search, "__func__", None)
+                is Receiver._acq_dispatch):
+            # pipelined: dispatch now, decide one block later (the searched
+            # data is this block's — only the DECISION is deferred; a lock
+            # starts one block late, well inside the reference's own 2 s
+            # retry granularity).  Tests overriding _acq_search keep the
+            # synchronous path.
+            self._acq_inflight = (
+                self.acq.search_dev_start(
+                    self.cache.get(self.base, self.block_len),
+                    diag=self.spec_monitor is not None),
+                self.base, t_stream, [ch.idx for ch in pend])
+            return
+        self._apply_acq(self._acq_search(), self.base, t_stream,
+                        [ch.idx for ch in pend])
+
+    def _apply_acq(self, res: "AcqResult", base_s: int, t_disp: float,
+                   pend_idx: list[int]) -> None:
+        """Start tracking for every pending channel the search accepted.
+        ``base_s`` is the stream position of the searched data; when the
+        decision arrives later (pipelined search), the acquired code phase
+        is propagated to the current base along the acquired code-Doppler
+        trajectory (the residual after one block is ≪ the acquisition
+        grid's own half-sample/half-bin quantization)."""
+        delta = self.base - base_s
+        for i in pend_idx:
+            ch = self.channels[i]                 # idx == position
+            if ch.locked or not bool(res.acquired[i]):
+                continue
+            codei = int(res.codei[i])
+            dcarr = float(res.dcarr[i])
+            if delta:
+                cfreq = float(self.trk.crate[i]) + dcarr * float(
+                    self.trk.aid[i])               # chips/s, carrier-aided
+                tc_samp = self.trk._clens[i] / cfreq * self.spec.f_sf
+                codei = int(round((codei - delta) % tc_samp))
+            ch.locked = True
+            ch.cn0 = float(res.cn0[i])
+            self.state = self.trk.start_channels(
+                self.state, [i], [codei], [dcarr])
+            self._cnt_host[i] = 0
+            self._events.append(
+                ("acq", t_disp, ch.cfg.prn, float(res.cn0[i]),
+                 float(res.peakr[i])))
+            if res.P is not None:
+                view = dict(surface=np.asarray(res.P[i]),
+                            dopp_hz=self.acq.dopp_hz,
+                            codei=int(res.codei[i]),
+                            cn0=float(res.cn0[i]), t=t_disp)
+                self.acq_views[ch.cfg.prn] = view
+                if self.on_acq is not None:
+                    self.on_acq(ch, view)
 
     def _try_hotstart(self, pend: list, t_stream: float) -> list:
         """Position/ephemeris-aided direct tracking handoff (HOTSTART=1;

@@ -197,7 +197,11 @@ def test_receiver_over_mesh_matches_single(tmp_path):
             fends=[spec], files=[str(path)],
             track=TrackConfig(corrn=4, corrd=2, corrp=2),
             outms=400, rinex=False)
-        return Receiver(cfg, FileFrontend(str(path), spec), mesh=mesh)
+        # pipeline_acq=False: the sharded acquirer decides synchronously,
+        # so exact equivalence needs the single-device receiver to as well
+        # (async acquisition is covered by test_acq_pipeline_*)
+        return Receiver(cfg, FileFrontend(str(path), spec), mesh=mesh,
+                        pipeline_acq=False)
 
     rx_m = mk(make_mesh(4))
     rx_s = mk(None)

@@ -197,8 +197,11 @@ def test_pipelined_matches_sequential(if_file):
             fends=[spec], files=[str(path)],
             track=TrackConfig(corrn=4, corrd=2, corrp=2),
             outms=400, rinex=False)
+        # pipeline_acq=False isolates telemetry pipelining as a pure
+        # scheduling change (async acquisition shifts locks one block —
+        # covered by test_acq_pipeline.py)
         return Receiver(cfg, FileFrontend(str(path), spec),
-                        pipeline=pipeline)
+                        pipeline=pipeline, pipeline_acq=False)
 
     rx_p = mk(True)
     rx_s = mk(False)
@@ -212,6 +215,71 @@ def test_pipelined_matches_sequential(if_file):
         assert cp.nav.flagdec == cs.nav.flagdec
         assert cp.hist.nrec == cs.hist.nrec
         np.testing.assert_array_equal(cp.hist.tow[:8], cs.hist.tow[:8])
+
+
+def test_acq_pipeline_matches_sequential(if_file):
+    """Pipelined acquisition (dispatch the search, read the decision one
+    block later, overlapped with tracking): locks land exactly one block
+    late with the acquired code phase propagated to the new stream
+    position along the code-Doppler trajectory.  Same locks, same
+    decodes, and common-epoch pseudoranges within loop noise — a
+    translation slip of even one sample would shift P by c/f_sf = 73 m."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from gnsslib_tpu.io.frontend import FileFrontend, FrontendSpec
+    from gnsslib_tpu.constants import FrontendType
+    from gnsslib_tpu.runtime.config import ReceiverConfig, ChannelConfig
+    from gnsslib_tpu.runtime.receiver import Receiver
+    from gnsslib_tpu.track.state import TrackConfig
+
+    tmp, path = if_file
+    spec = FrontendSpec(fend=FrontendType.FILE, f_cf=1.57542e9, f_sf=F_SF,
+                        f_if=F_IF, dtype=DType.REAL)
+
+    def mk(pipeline_acq):
+        cfg = ReceiverConfig(
+            channels=[ChannelConfig(prn=3), ChannelConfig(prn=21)],
+            fends=[spec], files=[str(path)],
+            track=TrackConfig(corrn=4, corrd=2, corrp=2),
+            outms=400, rinex=False)
+        rx = Receiver(cfg, FileFrontend(str(path), spec),
+                      pipeline_acq=pipeline_acq)
+        epochs = []
+        orig = rx.hub.emit_epochs
+
+        def record(inputs):
+            out = orig(inputs)
+            epochs.extend(out)
+            return out
+        rx.hub.emit_epochs = record
+        return rx, epochs
+
+    rx_a, ep_a = mk(True)
+    rx_s, ep_s = mk(False)
+    rx_a.run_seconds(seconds=26.0)
+    rx_s.run_seconds(seconds=26.0)
+    # same locks and decodes; the async search ran on the SAME block, so
+    # the acq events carry identical dispatch times and statistics
+    assert [ch.locked for ch in rx_a.channels] == \
+        [ch.locked for ch in rx_s.channels] == [True, True]
+    assert all(ch.nav.flagdec for ch in rx_a.channels)
+    acq_a = sorted(e for e in rx_a.events if e[0] == "acq")
+    acq_s = sorted(e for e in rx_s.events if e[0] == "acq")
+    assert acq_a == acq_s
+    # channels started one block later: exactly nsteps fewer periods
+    assert all(int(a) == int(s) - rx_a.nsteps for a, s in
+               zip(rx_a._cnt_host, rx_s._cnt_host))
+    # common-epoch observables agree: the propagated code phase handed
+    # tracking the same signal alignment (sub-sample)
+    def by_tow(eps):
+        return {round(o[0].tow, 3): {x.prn: x for x in o} for o in eps}
+    ta, ts = by_tow(ep_a), by_tow(ep_s)
+    common = sorted(set(ta) & set(ts))
+    assert len(common) >= 3
+    t = common[-1]
+    for prn in (3, 21):
+        assert ta[t][prn].P == pytest.approx(ts[t][prn].P, abs=5.0)
+        assert ta[t][prn].D == pytest.approx(ts[t][prn].D, abs=0.5)
 
 
 def test_checkpoint_resume(if_file):

@@ -20,6 +20,9 @@ def main():
     from tools.receiver_throughput import CACHE, F_SF, F_IF
 
     pipeline = "--sequential" not in sys.argv
+    nsteps = 400
+    if "--nsteps" in sys.argv:
+        nsteps = int(sys.argv[sys.argv.index("--nsteps") + 1])
 
     spec = FrontendSpec(fend=FrontendType.FILE, f_cf=1.57542e9, f_sf=F_SF,
                         f_if=F_IF, dtype=DType.REAL)
@@ -43,15 +46,21 @@ def main():
             return r
         setattr(obj, name, wrap)
 
-    rx = rxmod.Receiver(cfg, FileFrontend(CACHE, spec), pipeline=pipeline)
+    rx = rxmod.Receiver(cfg, FileFrontend(CACHE, spec), pipeline=pipeline,
+                        nsteps_per_block=nsteps)
     # warm pass for compiles
     rx.run_seconds()
-    rx = rxmod.Receiver(cfg, FileFrontend(CACHE, spec), pipeline=pipeline)
+    rx = rxmod.Receiver(cfg, FileFrontend(CACHE, spec), pipeline=pipeline,
+                        nsteps_per_block=nsteps)
     timed(rx.frontend, "read", "frontend.read")
     timed(rx.cache, "get", "cache.get")
     timed(rx.cache, "_upload", "cache.upload")
     timed(rx, "_try_acquire", "acquire")
-    timed(rx, "_acq_search", "acquire.search")
+    # NOTE: do NOT wrap rx._acq_search — replacing the bound method would
+    # defeat the pipelined-acquisition identity check and silently force
+    # the synchronous path; time the Acquirer's start/collect instead
+    timed(rx.acq, "search_dev_start", "acq.dispatch")
+    timed(rx.acq, "search_dev_collect", "acq.collect")
     timed(rx.fast, "run_block_start", "fast.dispatch")
     timed(rx.fast, "run_block_collect", "fast.collect")
     timed(rx.fast, "run_block", "fast.run_block")

@@ -57,7 +57,8 @@ def synthesize():
     json.dump(meta, open(META, "w"))
 
 
-def run(pipeline: bool, nsteps: int = 400) -> dict:
+def run(pipeline: bool, nsteps: int = 400, depth: int = 2) -> dict:
+    import tempfile
     from gnsslib_tpu.constants import DType, FrontendType
     from gnsslib_tpu.io.frontend import FileFrontend, FrontendSpec
     from gnsslib_tpu.runtime.config import ReceiverConfig, ChannelConfig
@@ -70,9 +71,10 @@ def run(pipeline: bool, nsteps: int = 400) -> dict:
         channels=[ChannelConfig(prn=p) for p in range(1, 33)],
         fends=[spec], files=[CACHE],
         track=TrackConfig(corrn=6, corrd=3, corrp=6),   # iffile.ini
-        outms=400, rinex=False)
+        outms=400, rinex=True,                 # full output path ON
+        rinexpath=tempfile.mkdtemp(prefix="gnsslib_rxbench_"))
     rx = Receiver(cfg, FileFrontend(CACHE, spec), pipeline=pipeline,
-                  nsteps_per_block=nsteps)
+                  nsteps_per_block=nsteps, pipeline_depth=depth)
     # compile warmup: first block(s) hit acq + slow-track compiles; run
     # one full pass, then measure a second pass on fresh receiver state
     t0 = time.time()
@@ -81,7 +83,7 @@ def run(pipeline: bool, nsteps: int = 400) -> dict:
           f"locked={len(s['locked'])} decoded={len(s['decoded'])} "
           f"epochs={s['epochs']}")
     rx2 = Receiver(cfg, FileFrontend(CACHE, spec), pipeline=pipeline,
-                   nsteps_per_block=nsteps)
+                   nsteps_per_block=nsteps, pipeline_depth=depth)
     # manual loop to split cold-start (acq + per-period pull-in scan, a
     # fixed one-time cost) from steady-state streaming (the sustained
     # production rate)
@@ -101,14 +103,16 @@ def run(pipeline: bool, nsteps: int = 400) -> dict:
     if t_steady is not None and rx2.base > base_steady:
         s["msps_steady"] = ((rx2.base - base_steady) / 1e6
                             / max(time.time() - t_steady, 1e-9))
-    s["label"] = ("pipelined" if pipeline else "sequential") + f"/{nsteps}"
+    s["label"] = (("pipelined" if pipeline else "sequential")
+                  + f"/{nsteps}/d{depth}")
     return s
 
 
 def main():
     synthesize()
-    for pipeline, nsteps in ((True, 400), (True, 2000), (False, 2000)):
-        s = run(pipeline, nsteps)
+    for pipeline, nsteps, depth in ((True, 400, 2), (True, 2000, 2),
+                                    (True, 2000, 3), (False, 2000, 2)):
+        s = run(pipeline, nsteps, depth)
         stdy = s.get("msps_steady")
         stdy = f"steady {stdy:6.1f} ({stdy / 16.368:4.1f}x rt)" if stdy \
             else ""
