@@ -57,7 +57,8 @@ class Acquirer:
     def __init__(self, prns, ctypes, f_sf: float, f_if: float, dtype: int,
                  foffsets=None, hband: float = ACQHBAND,
                  step: float = ACQSTEP, intg: int = ACQINTG_L1CA,
-                 thresh: float = ACQTH, confirm: bool = False):
+                 thresh: float = ACQTH, confirm: bool = False,
+                 decim: int | None = None):
         prns = list(prns)
         C = len(prns)
         ctypes = list(ctypes) if not np.isscalar(ctypes) else [ctypes] * C
@@ -85,23 +86,51 @@ class Acquirer:
         ctime = len(code0) / crate0
         self.ctime = ctime
         self.nsamp = int(round(f_sf * ctime))
-        self.nfft = fftcorr.next_pow2(2 * self.nsamp)
 
-        # per-channel resampled-code spectra (C, nfft) complex64
+        # coarse/fine search (standard PCPS decimation, no reference
+        # analogue — sdracq.c always correlates at the full sample rate):
+        # the FFT grid runs at f_sf/decim >= 4 samples/chip (straddle loss
+        # <= 1.2 dB worst-case, ~0.3 dB mean), then the winning cell is
+        # refined to full-rate code phase by a direct correlation over
+        # +-decim samples at the peak Doppler bin.  Cuts the dominant
+        # receiver device cost (FFT batch + per-bin mixing) by ~decim x.
+        # decim=None auto-selects; decim=1 forces the exact full-rate path.
+        crates = np.asarray([codes.gencode(p, c)[1]
+                             for p, c in zip(prns, ctypes)], np.float64)
+        if decim is None:
+            decim = 1
+            while (decim < 16 and self.nsamp % (2 * decim) == 0
+                   and f_sf / (2 * decim) >= 4.0 * crates.max()):
+                decim *= 2
+        self.decim = int(decim)
+        if self.nsamp % self.decim:
+            raise ValueError(f"decim {decim} must divide nsamp {self.nsamp}")
+        self.nsamp_d = self.nsamp // self.decim
+        self.nfft = fftcorr.next_pow2(2 * self.nsamp_d)
+
+        # per-channel code spectra at the SEARCH rate (C, nfft) complex64
         # (shipped to device as stacked re/im float32: complex arrays must
         # not cross the host<->device boundary — unsupported on the axon
         # TPU relay, and re/im planes transfer just as fast)
+        f_search = f_sf / self.decim
         codex = np.empty((C, self.nfft), np.complex64)
+        code_fr = np.empty((C, self.nsamp), np.float32)
         nsampchip = np.empty(C, np.int32)
+        nsampchip_fr = np.empty(C, np.int32)
         for i, (prn, ct) in enumerate(zip(prns, ctypes)):
             code, crate = codes.gencode(prn, ct)
             clen = len(code)
-            nsampchip[i] = int(self.nsamp / clen)
-            idx = np.mod(np.floor(np.arange(self.nsamp, dtype=np.float64)
-                                  * crate / f_sf).astype(np.int64), clen)
+            nsampchip[i] = max(1, int(self.nsamp_d / clen))
+            nsampchip_fr[i] = int(self.nsamp / clen)
+            idx = np.mod(np.floor(np.arange(self.nsamp_d, dtype=np.float64)
+                                  * crate / f_search).astype(np.int64), clen)
             rc = np.zeros(self.nfft, np.float32)
-            rc[:self.nsamp] = code[idx]
+            rc[:self.nsamp_d] = code[idx]
             codex[i] = np.conj(np.fft.fft(rc)).astype(np.complex64)
+            idx_fr = np.mod(np.floor(np.arange(self.nsamp, dtype=np.float64)
+                                     * crate / f_sf).astype(np.int64), clen)
+            code_fr[i] = code[idx_fr]
+        self.nsampchip_fr = nsampchip_fr
 
         # carrier base phase per channel: frac((f_if+foffset)*ti*i), f64->f32
         nwin = 2 * self.nsamp
@@ -121,6 +150,11 @@ class Acquirer:
             base_phase=jnp.asarray(base.astype(np.float32)),
             d_cps=jnp.asarray((k * step * self.ti).astype(np.float32)),
         )
+        if self.decim > 1:
+            self._consts["code_fr"] = jnp.asarray(code_fr)
+        # const keys carrying a leading channel axis (the sharded wrapper
+        # pads + shards exactly these)
+        self.ch_const_keys = [k for k in self._consts if k != "d_cps"]
         self._search = jax.jit(self._search_impl)
         self._search_flat = jax.jit(self._search_flat_impl)
 
@@ -141,37 +175,97 @@ class Acquirer:
         mixed = d[None, :] * rot
         return jnp.pad(mixed, ((0, 0), (0, self.nfft - nwin)))
 
+    def _to_complex(self, data):
+        """(n[, 2]) float32 -> (n,) complex64 in-program."""
+        if data.ndim == 2:
+            return jax.lax.complex(data[..., 0], data[..., 1])
+        return data.astype(jnp.complex64)
+
     def _search_impl(self, data_rounds, consts):
         """data_rounds: (intg, 2*nsamp[, 2]) float32 windows.
 
-        Returns P (C, F, nsamp) non-coherently integrated power.
+        Returns P (C, F, nsamp_d) non-coherently integrated power on the
+        search-rate grid (= full rate when decim == 1).
         """
         d_cps = consts["d_cps"]
+        R = self.decim
+        nwin_d = 2 * self.nsamp_d
 
         def one_channel(args):
             # all (rounds x Doppler) FFTs of one channel in ONE batch: a
             # round-by-round fori_loop serializes intg small FFT batches
             # (measured 0.5 s per 32-ch search at the 16.368 Msps
             # envelope; batched: one (intg*F, nfft) dispatch per channel)
-            codex_ri, base_c = args
+            codex_ri, base_c = args[0], args[1]
             codex_c = jax.lax.complex(codex_ri[0], codex_ri[1])
-            mixed = jax.vmap(
-                lambda d: self._mix_one_channel(d, base_c, d_cps)
-            )(data_rounds)                          # (R, F, nfft)
-            p = fftcorr.fft_correlate_power(mixed, codex_c, self.nsamp)
+            if R == 1:
+                mixed = jax.vmap(
+                    lambda d: self._mix_one_channel(d, base_c, d_cps)
+                )(data_rounds)                      # (rounds, F, nfft)
+            else:
+                # coarse stage: wipe the per-channel center frequency at
+                # full rate (exact IF/FDMA), integrate-and-dump by R (the
+                # boxcar is the chip-matched lowpass; residual-Doppler
+                # droop over R samples <= 2e-3 cycles), then mix the
+                # +-hband residual grid on the decimated stream
+                rot = jnp.exp((2j * jnp.pi)
+                              * base_c.astype(jnp.complex64))
+                dc = jax.vmap(lambda d: self._to_complex(d) * rot
+                              )(data_rounds)        # (rounds, nwin)
+                dd = dc.reshape(dc.shape[0], nwin_d, R).sum(axis=-1)
+                i_d = jnp.arange(nwin_d, dtype=jnp.float32)
+                ph = frac((d_cps * R)[:, None] * i_d[None, :])
+                rotd = jnp.exp((2j * jnp.pi) * ph.astype(jnp.complex64))
+                mixed = dd[:, None, :] * rotd[None, :, :]
+                mixed = jnp.pad(
+                    mixed, ((0, 0), (0, 0), (0, self.nfft - nwin_d)))
+            p = fftcorr.fft_correlate_power(mixed, codex_c, self.nsamp_d)
             # even/odd-round split accumulators (the sum is the reference
             # statistic; the halves feed the false-lock confirmation)
             return jnp.stack([p[0::2].sum(axis=0), p[1::2].sum(axis=0)])
-        Ph = jax.lax.map(one_channel, (consts["codex_ri"],
-                                       consts["base_phase"]))
+        Ph = jax.lax.map(one_channel, tuple(
+            consts[k] for k in ("codex_ri", "base_phase")))
         # acceptance test in the same program: one compile, and only the
         # tiny decision vectors leave the device.  The barrier stops XLA
         # from fusing the reduction stage into the FFT loop — without it
         # the CPU backend's optimizer blows up (minutes-long compiles).
         Ph = jax.lax.optimization_barrier(Ph)
         P = Ph[:, 0] + Ph[:, 1]
-        return ((P,) + self.check_impl(P, consts["nsampchip"])
+        codei, freqi, cn0, peakr = self.check_impl(P, consts["nsampchip"])
+        if R > 1:
+            codei = self._refine_impl(data_rounds, consts, codei, freqi)
+        return ((P, codei, freqi, cn0, peakr)
                 + (self.confirm_impl(Ph, consts["nsampchip"]),))
+
+    def _refine_impl(self, data_rounds, consts, codei_d, freqi):
+        """Fine stage: full-rate code phase at the winning Doppler bin.
+
+        For each channel, correlate the full-rate rounds against the
+        full-rate replica at the 2*decim+1 lags around codei_d*decim
+        (mod nsamp — code periodicity keeps every read inside the round's
+        own 2*nsamp window) and return the argmax lag: the exact-cell
+        answer the undecimated search would have produced, at the cost of
+        one small einsum instead of a full-rate FFT grid."""
+        R = self.decim
+        d_cps = consts["d_cps"]
+        nsamp = self.nsamp
+        i = jnp.arange(nsamp, dtype=jnp.int32)
+
+        def one(args):
+            base_c, code_c, ci_d, fi = args
+            lags = (ci_d * R
+                    + jnp.arange(-R, R + 1, dtype=jnp.int32)) % nsamp
+            j = jnp.arange(2 * nsamp, dtype=jnp.float32)
+            ph = base_c + frac(d_cps[fi] * j)
+            rot = jnp.exp((2j * jnp.pi) * ph.astype(jnp.complex64))
+            y = jax.vmap(lambda d: self._to_complex(d) * rot)(data_rounds)
+            idx = lags[:, None] + i[None, :]          # (2R+1, nsamp)
+            yw = y[:, idx]                            # (rounds, 2R+1, nsamp)
+            z = jnp.einsum("roi,i->ro", yw, code_c.astype(jnp.complex64))
+            pw = jnp.sum(jnp.abs(z) ** 2, axis=0)     # (2R+1,)
+            return lags[jnp.argmax(pw)]
+        return jax.lax.map(one, (consts["base_phase"], consts["code_fr"],
+                                 codei_d, freqi))
 
     def confirm_impl(self, Ph, nsampchip):
         """Even/odd-half peak agreement: (C, 2, F, n) -> (C,) bool."""
@@ -211,12 +305,21 @@ class Acquirer:
     def check(self, P, nsampchip):
         return self.check_impl(P, nsampchip)
 
-    def _search_flat_impl(self, data_flat, consts):
+    def _search_flat_impl(self, data_flat, consts, idx=None):
         """Like _search_impl, but takes a FLAT (n[, 2]) sample array and
         stacks the (intg, 2*nsamp) round windows in-program — so a block
         already resident on device (io/devcache.py) feeds acquisition with
         no host read or re-upload (the reference re-reads the ring per
-        round, src/sdracq.c:29-33)."""
+        round, src/sdracq.c:29-33).
+
+        ``idx``: optional (P,) channel-subset indices — the per-channel
+        consts are gathered so the FFT grid runs only for those channels
+        (the reference's per-channel threads likewise never re-search a
+        locked channel, src/sdrmain.c:247-316; the batched program should
+        not either).  Cost scales with P instead of C."""
+        if idx is not None:
+            consts = {k: (consts[k][idx] if k in self.ch_const_keys
+                          else consts[k]) for k in consts}
         nwin = 2 * self.nsamp
         rounds = jnp.stack([
             jax.lax.dynamic_slice_in_dim(data_flat, r * self.nsamp, nwin,
@@ -231,24 +334,52 @@ class Acquirer:
         attached (stays on device until a channel's view is fetched)."""
         return self.search_dev_collect(self.search_dev_start(block, diag))
 
-    def search_dev_start(self, block, diag: bool = False):
+    def search_dev_start(self, block, diag: bool = False, idx=None):
         """Dispatch the device search WITHOUT reading the decision
         vectors: returns an opaque handle of device arrays.  The receiver
         uses this to overlap the acquisition program (and its result's
         relay round trip) with tracking blocks — the reference instead
         blocks each channel thread for the whole search
-        (src/sdracq.c:14-59)."""
-        P, codei, freqi, cn0, peakr, confirmed = self._search_flat(
-            block, self._consts)
-        return (P if diag else None, codei, freqi, cn0, peakr, confirmed)
+        (src/sdracq.c:14-59).
+
+        ``idx``: optional pending-channel subset — the grid runs only for
+        those channels (padded to a multiple of 4 to bound the number of
+        compiled variants); the others come back unacquired.  Ignored
+        with ``diag`` (the monitor wants every channel's surface)."""
+        if diag or idx is None or len(idx) >= self.C:
+            idx = None
+            handle = self._search_flat(block, self._consts)
+        else:
+            idx = np.asarray(idx, np.int32)
+            pad = (-len(idx)) % 4
+            idxp = np.concatenate([idx, np.repeat(idx[:1], pad)])
+            handle = self._search_flat(block, self._consts,
+                                       jnp.asarray(idxp))
+        P, codei, freqi, cn0, peakr, confirmed = handle
+        for a in (codei, freqi, cn0, peakr, confirmed):
+            # overlap the decision vectors' device->host copy with the
+            # tracking blocks dispatched behind the search
+            try:
+                a.copy_to_host_async()
+            except (AttributeError, NotImplementedError):  # pragma: no cover
+                pass
+        return (P if diag else None, codei, freqi, cn0, peakr, confirmed,
+                idx)
 
     def search_dev_collect(self, handle) -> AcqResult:
         """Fetch a search_dev_start handle's decision vectors -> AcqResult
         (blocks only until the acquisition program itself finished)."""
         import jax
-        P, codei, freqi, cn0, peakr, confirmed = handle
+        P, codei, freqi, cn0, peakr, confirmed, idx = handle
         codei, freqi, cn0, peakr, confirmed = jax.device_get(
             (codei, freqi, cn0, peakr, confirmed))
+        if idx is not None:
+            n = len(idx)
+            full = [np.zeros(self.C, a.dtype) for a in
+                    (codei, freqi, cn0, peakr, confirmed)]
+            for f, a in zip(full, (codei, freqi, cn0, peakr, confirmed)):
+                f[idx] = a[:n]           # peakr 0 elsewhere -> unacquired
+            codei, freqi, cn0, peakr, confirmed = full
         res = self.postprocess(codei, freqi, cn0, peakr, confirmed)
         if P is not None:
             res.P = P

@@ -200,13 +200,13 @@ class ShardedAcquirer:
         self._npad = (-acq.C) % n
         shard_ch = NamedSharding(mesh, P(axis))
         consts = dict(acq._consts)
-        for k in ("codex_ri", "nsampchip", "base_phase"):
+        ch_keys = acq.ch_const_keys        # every leading-channel-axis const
+        for k in ch_keys:
             consts[k] = _pad_ch(consts[k], self._npad)
         self._consts = jax.device_put(
             consts,
-            dict(codex_ri=shard_ch, nsampchip=shard_ch,
-                 base_phase=shard_ch,
-                 d_cps=NamedSharding(mesh, P())))
+            {k: (shard_ch if k in ch_keys else NamedSharding(mesh, P()))
+             for k in consts})
         ax = axis
 
         def local(rounds, consts):
@@ -214,8 +214,8 @@ class ShardedAcquirer:
 
         self._fn = jax.jit(shard_map(
             local, mesh=mesh,
-            in_specs=(P(), dict(codex_ri=P(ax), nsampchip=P(ax),
-                                base_phase=P(ax), d_cps=P())),
+            in_specs=(P(), {k: (P(ax) if k in ch_keys else P())
+                            for k in consts}),
             out_specs=(P(ax),) * 6))
 
     def search(self, data: np.ndarray) -> AcqResult:

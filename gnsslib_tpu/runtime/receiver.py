@@ -442,7 +442,8 @@ class Receiver:
             self._acq_inflight = (
                 self.acq.search_dev_start(
                     self.cache.get(self.base, self.block_len),
-                    diag=self.spec_monitor is not None),
+                    diag=self.spec_monitor is not None,
+                    idx=[ch.idx for ch in pend]),
                 self.base, t_stream, [ch.idx for ch in pend])
             return
         self._apply_acq(self._acq_search(), self.base, t_stream,

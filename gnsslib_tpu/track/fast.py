@@ -605,6 +605,14 @@ class FastTracker:
         carry, packf, packi = self._run(carry, block, self._consts,
                                         self._fconsts, S)
         new_state = self.trk._dict_to_state(carry, state)
+        for a in (packf, packi):
+            # start the device->host copy as soon as the block finishes on
+            # device, overlapping the next blocks' compute — the blocking
+            # device_get in run_block_collect then reads local bytes
+            try:
+                a.copy_to_host_async()
+            except (AttributeError, NotImplementedError):  # pragma: no cover
+                pass
         return new_state, (packf, packi)
 
     def run_block_collect(self, handle) -> TrackOutputs:

@@ -121,3 +121,31 @@ def test_acquisition_confirm_guard():
                     DType.REAL, intg=10, thresh=1.0, confirm=False)
     res0 = acq0.search(data)
     assert np.all(res0.acquired), "thresh=1.0 accepts everything unguarded"
+
+
+def test_acquisition_decimated_matches_full_rate():
+    """Coarse/fine search (acquire/search.py decim>1; no reference
+    analogue — sdracq.c always runs the FFT grid at full rate): the
+    decimated FFT stage plus full-rate refinement must reproduce the
+    full-rate search's decisions and EXACT code-phase cell at the
+    16.368 Msps post-processing envelope (where decim auto-selects 4)."""
+    f_sf, f_if = 16.368e6, 4.092e6
+    prns = [2, 5, 9, 17, 23]             # 5 absent -> must not acquire
+    chans = [sim.SimChannel(prn=p, doppler=137.0 * p - 400.0,
+                            code_phase=31.0 * p)
+             for p in prns if p != 5]
+    data = np.asarray(sim.synthesize(chans, f_sf, f_if, DType.REAL,
+                                     12 * 16368, noise_std=2.0, seed=5),
+                      np.float32)
+    a_d = Acquirer(prns, [CodeType.L1CA] * 5, f_sf, f_if, DType.REAL,
+                   intg=10)
+    a_1 = Acquirer(prns, [CodeType.L1CA] * 5, f_sf, f_if, DType.REAL,
+                   intg=10, decim=1)
+    assert a_d.decim == 4 and a_1.decim == 1
+    r_d, r_1 = a_d.search(data), a_1.search(data)
+    np.testing.assert_array_equal(r_d.acquired, r_1.acquired)
+    present = [i for i, p in enumerate(prns) if p != 5]
+    np.testing.assert_array_equal(r_d.codei[present], r_1.codei[present])
+    np.testing.assert_array_equal(r_d.freqi[present], r_1.freqi[present])
+    # statistics on the coarse surface: same C/N0 within the straddle loss
+    assert np.all(np.abs(r_d.cn0[present] - r_1.cn0[present]) < 1.5)

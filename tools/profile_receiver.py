@@ -33,7 +33,6 @@ def main():
         outms=400, rinex=False)
 
     T = {}
-    N = {}
 
     def timed(obj, name, label):
         fn = getattr(obj, name)
@@ -41,8 +40,7 @@ def main():
         def wrap(*a, **k):
             t0 = time.time()
             r = fn(*a, **k)
-            T[label] = T.get(label, 0.0) + time.time() - t0
-            N[label] = N.get(label, 0) + 1
+            T.setdefault(label, []).append(time.time() - t0)
             return r
         setattr(obj, name, wrap)
 
@@ -75,8 +73,11 @@ def main():
     print(f"mode={'pipelined' if pipeline else 'sequential'}  "
           f"total {total:.1f}s for {s['seconds']:.1f}s of signal "
           f"({s['msps']:.1f} Msps)")
-    for k in sorted(T, key=lambda k: -T[k]):
-        print(f"  {k:16s} {T[k]:7.2f}s  x{N[k]}")
+    for k in sorted(T, key=lambda k: -sum(T[k])):
+        v = np.asarray(T[k])
+        tail = " ".join(f"{x:.3f}" for x in v[-3:])
+        print(f"  {k:16s} {v.sum():7.2f}s  x{len(v)}  "
+              f"med {np.median(v):6.3f}  last3 [{tail}]")
     # nested: acquire includes acquire.search; dispatch/collect under
     # step_block; fast.run_block calls dispatch+collect
     return 0

@@ -18,39 +18,56 @@ import numpy as np
 
 F_SF = 16.368e6
 F_IF = 4.092e6
-SECONDS = 20.0
+SECONDS = float(os.environ.get("GNSSLIB_RXBENCH_SECONDS", "20"))
 NPRESENT = 12                      # satellites actually in the signal
 TOW0 = 352800.0
 CACHE = "/tmp/gnsslib_rxbench_l1ca_16m.bin"
 META = CACHE + ".json"
 
 
+def _chans():
+    from gnsslib_tpu import sim
+    chans = []
+    nframes = max(4, int(SECONDS // 6) + 1)
+    for prn in range(1, NPRESENT + 1):
+        eph = sim.example_eph(prn=prn, week=2200, toe_tow=TOW0)
+        frames = sim.lnav_bit_stream(eph, TOW0 + 6.0, nframes=nframes)
+        pad = np.concatenate([np.tile([1, -1], 149), [1, 1]]).astype(np.int8)
+        chans.append(sim.SimChannel(
+            prn=prn, doppler=250.0 * (prn % 13) - 1500.0,
+            code_phase=97.0 * prn, carr_phase=0.1 * prn,
+            nav_bits=np.concatenate([pad, frames])))
+    return chans
+
+
+def _synth_chunk(args):
+    t0, count, noise = args
+    from gnsslib_tpu import sim
+    from gnsslib_tpu.constants import DType
+    x = sim.synthesize(_chans(), F_SF, F_IF, DType.REAL, count,
+                       noise_std=noise, seed=1000 + t0, t0=t0)
+    return t0, sim.quantize_int8(x, 16.0)
+
+
 def synthesize():
+    from concurrent.futures import ProcessPoolExecutor
     from gnsslib_tpu import sim
     from gnsslib_tpu.constants import DType
     meta = dict(f_sf=F_SF, f_if=F_IF, seconds=SECONDS, n=NPRESENT)
     if os.path.exists(CACHE) and os.path.exists(META):
         if json.load(open(META)) == meta:
             return
-    chans = []
-    for prn in range(1, NPRESENT + 1):
-        eph = sim.example_eph(prn=prn, week=2200, toe_tow=TOW0)
-        frames = sim.lnav_bit_stream(eph, TOW0 + 6.0, nframes=4)
-        pad = np.concatenate([np.tile([1, -1], 149), [1, 1]]).astype(np.int8)
-        chans.append(sim.SimChannel(
-            prn=prn, doppler=250.0 * (prn % 13) - 1500.0,
-            code_phase=97.0 * prn, carr_phase=0.1 * prn,
-            nav_bits=np.concatenate([pad, frames])))
     noise = sim.noise_std_for_cn0(1.0, 46.0, F_SF, DType.REAL)
     n = int(SECONDS * F_SF)
     t_start = time.time()
-    with open(CACHE + ".tmp", "wb") as f:
-        step = int(F_SF)
-        for t0 in range(0, n, step):
-            x = sim.synthesize(chans, F_SF, F_IF, DType.REAL,
-                               min(step, n - t0), noise_std=noise,
-                               seed=1000 + t0, t0=t0)
-            sim.quantize_int8(x, 16.0).tofile(f)
+    step = int(F_SF)
+    jobs = [(t0, min(step, n - t0), noise) for t0 in range(0, n, step)]
+    # chunks are seeded independently -> embarrassingly parallel across
+    # host cores; in-order consumption keeps the writer sequential
+    with open(CACHE + ".tmp", "wb") as f, \
+            ProcessPoolExecutor(max_workers=3) as ex:
+        for t0, q in ex.map(_synth_chunk, jobs):
+            q.tofile(f)
             print(f"  synth {t0 / F_SF:4.0f}/{SECONDS:.0f} s "
                   f"({time.time() - t_start:.0f} s)", flush=True)
     os.replace(CACHE + ".tmp", CACHE)
