@@ -87,32 +87,44 @@ class Acquirer:
         self.ctime = ctime
         self.nsamp = int(round(f_sf * ctime))
 
-        # coarse/fine search (standard PCPS decimation, no reference
-        # analogue — sdracq.c always correlates at the full sample rate):
-        # the FFT grid runs at f_sf/decim >= 4 samples/chip (straddle loss
-        # <= 1.2 dB worst-case, ~0.3 dB mean), then the winning cell is
-        # refined to full-rate code phase by a direct correlation over
-        # +-decim samples at the peak Doppler bin.  Cuts the dominant
-        # receiver device cost (FFT batch + per-bin mixing) by ~decim x.
-        # decim=None auto-selects; decim=1 forces the exact full-rate path.
-        crates = np.asarray([codes.gencode(p, c)[1]
-                             for p, c in zip(prns, ctypes)], np.float64)
+        # coarse/fine search (no reference analogue — sdracq.c always runs
+        # the FFT grid at the full sample rate with a 2-period zero-padded
+        # linear correlation): the coarse stage rebins each 1 ms code
+        # period onto a power-of-two grid of >= 4 cells/chip (cumulative-
+        # sum integrate-and-dump; boxcar is the chip-matched lowpass) and
+        # CIRCULARLY correlates one period of data against one period of
+        # replica — exact for a periodic ranging code up to the carrier-
+        # phase seam at the wrap (residual <= step/2 over 1 ms = 0.1
+        # cycle worst-bin -> <= 0.9 dB worst, ~0.2 dB mean; nav-bit edges
+        # sit on period boundaries, so the wrap bit-flip term is the same
+        # 1-in-20-round event the reference's linear window already has).
+        # The winning cell is then refined to full-rate code phase by a
+        # direct correlation over the cell's +-scale full-rate lags at the
+        # peak Doppler bin.  FFTs shrink from next_pow2(2*nsamp) to
+        # ~nsamp/4 and the Doppler mix runs on the short grid: ~8x less
+        # device work at the 16.368 Msps envelope.
+        # decim=None auto-selects; decim=1 forces the exact full-rate
+        # path; decim=R requests a ~R-fold grid reduction.
+        clens = [len(codes.gencode(p, c)[0]) for p, c in zip(prns, ctypes)]
         if decim is None:
-            decim = 1
-            while (decim < 16 and self.nsamp % (2 * decim) == 0
-                   and f_sf / (2 * decim) >= 4.0 * crates.max()):
-                decim *= 2
-        self.decim = int(decim)
-        if self.nsamp % self.decim:
-            raise ValueError(f"decim {decim} must divide nsamp {self.nsamp}")
-        self.nsamp_d = self.nsamp // self.decim
-        self.nfft = fftcorr.next_pow2(2 * self.nsamp_d)
+            ngrid = fftcorr.next_pow2(4 * max(clens))
+        elif int(decim) == 1:
+            ngrid = self.nsamp
+        else:
+            ngrid = fftcorr.next_pow2(max(1, self.nsamp // int(decim)))
+        self.coarse = ngrid < self.nsamp
+        self.nsamp_d = ngrid if self.coarse else self.nsamp
+        # full-rate samples per coarse grid cell (1.0 on the exact path)
+        self.scale = self.nsamp / self.nsamp_d
+        self.decim = int(round(self.scale))
+        self.refine_rad = int(np.ceil(self.scale)) + 1
+        self.nfft = (self.nsamp_d if self.coarse
+                     else fftcorr.next_pow2(2 * self.nsamp))
 
-        # per-channel code spectra at the SEARCH rate (C, nfft) complex64
+        # per-channel code spectra on the SEARCH grid (C, nfft) complex64
         # (shipped to device as stacked re/im float32: complex arrays must
         # not cross the host<->device boundary — unsupported on the axon
         # TPU relay, and re/im planes transfer just as fast)
-        f_search = f_sf / self.decim
         codex = np.empty((C, self.nfft), np.complex64)
         code_fr = np.empty((C, self.nsamp), np.float32)
         nsampchip = np.empty(C, np.int32)
@@ -123,7 +135,8 @@ class Acquirer:
             nsampchip[i] = max(1, int(self.nsamp_d / clen))
             nsampchip_fr[i] = int(self.nsamp / clen)
             idx = np.mod(np.floor(np.arange(self.nsamp_d, dtype=np.float64)
-                                  * crate / f_search).astype(np.int64), clen)
+                                  * self.scale * crate / f_sf)
+                         .astype(np.int64), clen)
             rc = np.zeros(self.nfft, np.float32)
             rc[:self.nsamp_d] = code[idx]
             codex[i] = np.conj(np.fft.fft(rc)).astype(np.complex64)
@@ -150,11 +163,18 @@ class Acquirer:
             base_phase=jnp.asarray(base.astype(np.float32)),
             d_cps=jnp.asarray((k * step * self.ti).astype(np.float32)),
         )
-        if self.decim > 1:
+        if self.coarse:
             self._consts["code_fr"] = jnp.asarray(code_fr)
+            # last full-rate sample index of each grid bin (bin m sums
+            # samples [edges[m-1]+1, edges[m]] of the cumulative sum)
+            edges = np.round(np.arange(1, self.nsamp_d + 1, dtype=np.float64)
+                             * self.scale).astype(np.int32) - 1
+            edges[-1] = self.nsamp - 1
+            self._consts["edges"] = jnp.asarray(edges)
         # const keys carrying a leading channel axis (the sharded wrapper
         # pads + shards exactly these)
-        self.ch_const_keys = [k for k in self._consts if k != "d_cps"]
+        self.ch_const_keys = [k for k in self._consts
+                              if k not in ("d_cps", "edges")]
         self._search = jax.jit(self._search_impl)
         self._search_flat = jax.jit(self._search_flat_impl)
 
@@ -185,11 +205,10 @@ class Acquirer:
         """data_rounds: (intg, 2*nsamp[, 2]) float32 windows.
 
         Returns P (C, F, nsamp_d) non-coherently integrated power on the
-        search-rate grid (= full rate when decim == 1).
+        search grid (= full rate when coarse is off).
         """
         d_cps = consts["d_cps"]
-        R = self.decim
-        nwin_d = 2 * self.nsamp_d
+        ng = self.nsamp_d
 
         def one_channel(args):
             # all (rounds x Doppler) FFTs of one channel in ONE batch: a
@@ -198,27 +217,31 @@ class Acquirer:
             # envelope; batched: one (intg*F, nfft) dispatch per channel)
             codex_ri, base_c = args[0], args[1]
             codex_c = jax.lax.complex(codex_ri[0], codex_ri[1])
-            if R == 1:
+            if not self.coarse:
                 mixed = jax.vmap(
                     lambda d: self._mix_one_channel(d, base_c, d_cps)
                 )(data_rounds)                      # (rounds, F, nfft)
             else:
                 # coarse stage: wipe the per-channel center frequency at
-                # full rate (exact IF/FDMA), integrate-and-dump by R (the
-                # boxcar is the chip-matched lowpass; residual-Doppler
-                # droop over R samples <= 2e-3 cycles), then mix the
-                # +-hband residual grid on the decimated stream
+                # full rate (exact IF/FDMA), rebin one code period onto
+                # the ng-point grid by cumulative-sum integrate-and-dump
+                # (residual-Doppler droop over a bin <= 2e-3 cycles),
+                # then mix the +-hband residual grid on the short stream.
+                # nfft == ng: the correlation below wraps circularly,
+                # which is exact for the periodic code (docstring above).
                 rot = jnp.exp((2j * jnp.pi)
-                              * base_c.astype(jnp.complex64))
-                dc = jax.vmap(lambda d: self._to_complex(d) * rot
-                              )(data_rounds)        # (rounds, nwin)
-                dd = dc.reshape(dc.shape[0], nwin_d, R).sum(axis=-1)
-                i_d = jnp.arange(nwin_d, dtype=jnp.float32)
-                ph = frac((d_cps * R)[:, None] * i_d[None, :])
+                              * base_c[:self.nsamp].astype(jnp.complex64))
+                dc = jax.vmap(
+                    lambda d: self._to_complex(d[:self.nsamp]) * rot
+                )(data_rounds)                      # (rounds, nsamp)
+                cs = jnp.cumsum(dc, axis=-1)
+                at = cs[:, consts["edges"]]         # (rounds, ng)
+                dd = jnp.diff(at, axis=-1,
+                              prepend=jnp.zeros((at.shape[0], 1), at.dtype))
+                i_d = jnp.arange(ng, dtype=jnp.float32)
+                ph = frac((d_cps * self.scale)[:, None] * i_d[None, :])
                 rotd = jnp.exp((2j * jnp.pi) * ph.astype(jnp.complex64))
                 mixed = dd[:, None, :] * rotd[None, :, :]
-                mixed = jnp.pad(
-                    mixed, ((0, 0), (0, 0), (0, self.nfft - nwin_d)))
             p = fftcorr.fft_correlate_power(mixed, codex_c, self.nsamp_d)
             # even/odd-round split accumulators (the sum is the reference
             # statistic; the halves feed the false-lock confirmation)
@@ -232,7 +255,7 @@ class Acquirer:
         Ph = jax.lax.optimization_barrier(Ph)
         P = Ph[:, 0] + Ph[:, 1]
         codei, freqi, cn0, peakr = self.check_impl(P, consts["nsampchip"])
-        if R > 1:
+        if self.coarse:
             codei = self._refine_impl(data_rounds, consts, codei, freqi)
         return ((P, codei, freqi, cn0, peakr)
                 + (self.confirm_impl(Ph, consts["nsampchip"]),))
@@ -241,26 +264,28 @@ class Acquirer:
         """Fine stage: full-rate code phase at the winning Doppler bin.
 
         For each channel, correlate the full-rate rounds against the
-        full-rate replica at the 2*decim+1 lags around codei_d*decim
-        (mod nsamp — code periodicity keeps every read inside the round's
-        own 2*nsamp window) and return the argmax lag: the exact-cell
-        answer the undecimated search would have produced, at the cost of
-        one small einsum instead of a full-rate FFT grid."""
-        R = self.decim
+        full-rate replica at the 2*refine_rad+1 lags around the coarse
+        cell's full-rate center (mod nsamp — code periodicity keeps every
+        read inside the round's own 2*nsamp window) and return the argmax
+        lag: the exact-cell answer the undecimated search would have
+        produced, at the cost of one small einsum instead of a full-rate
+        FFT grid."""
+        rad = self.refine_rad
         d_cps = consts["d_cps"]
         nsamp = self.nsamp
         i = jnp.arange(nsamp, dtype=jnp.int32)
 
         def one(args):
             base_c, code_c, ci_d, fi = args
-            lags = (ci_d * R
-                    + jnp.arange(-R, R + 1, dtype=jnp.int32)) % nsamp
+            cf = jnp.round(ci_d.astype(jnp.float32)
+                           * np.float32(self.scale)).astype(jnp.int32)
+            lags = (cf + jnp.arange(-rad, rad + 1, dtype=jnp.int32)) % nsamp
             j = jnp.arange(2 * nsamp, dtype=jnp.float32)
             ph = base_c + frac(d_cps[fi] * j)
             rot = jnp.exp((2j * jnp.pi) * ph.astype(jnp.complex64))
             y = jax.vmap(lambda d: self._to_complex(d) * rot)(data_rounds)
-            idx = lags[:, None] + i[None, :]          # (2R+1, nsamp)
-            yw = y[:, idx]                            # (rounds, 2R+1, nsamp)
+            idx = lags[:, None] + i[None, :]          # (2*rad+1, nsamp)
+            yw = y[:, idx]                            # (rounds, 2*rad+1, nsamp)
             z = jnp.einsum("roi,i->ro", yw, code_c.astype(jnp.complex64))
             pw = jnp.sum(jnp.abs(z) ** 2, axis=0)     # (2R+1,)
             return lags[jnp.argmax(pw)]
