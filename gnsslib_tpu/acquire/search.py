@@ -40,9 +40,14 @@ class AcqResult:
     cn0: np.ndarray        # C/N0 estimate (dB-Hz)
     peakr: np.ndarray      # first/second peak ratio
     confirmed: np.ndarray = None  # even/odd-round peak agreement (bool)
-    P: object = None       # (C, F, nsamp) power surface DEVICE handle
-                           # (search_dev(diag=True); fetch per channel —
-                           # the reference's pltacq view, sdrmain.c:258)
+    P: object = None       # (C, F, nsamp_d) power surface DEVICE handle
+                           # on the SEARCH grid: full-rate samples when
+                           # coarse is off, else decimated cells of
+                           # ``scale`` samples each — consumers aligning
+                           # ``codei`` (always full-rate) to the surface
+                           # must divide by ``scale`` (search_dev(
+                           # diag=True); fetched per channel — the
+                           # reference's pltacq view, sdrmain.c:258)
 
 
 class Acquirer:
@@ -117,7 +122,12 @@ class Acquirer:
         # full-rate samples per coarse grid cell (1.0 on the exact path)
         self.scale = self.nsamp / self.nsamp_d
         self.decim = int(round(self.scale))
-        self.refine_rad = int(np.ceil(self.scale)) + 1
+        # cover an adjacent-bin coarse argmax: near-threshold noise (or
+        # the half-bin skew between the point-sampled decimated replica
+        # and the boxcar-integrated data) can land the coarse peak one
+        # grid cell off, putting the true full-rate peak up to ~1.5*scale
+        # samples from the cell center
+        self.refine_rad = int(np.ceil(1.5 * self.scale)) + 1
         self.nfft = (self.nsamp_d if self.coarse
                      else fftcorr.next_pow2(2 * self.nsamp))
 

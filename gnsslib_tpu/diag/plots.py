@@ -51,16 +51,22 @@ def plot_histogram(edges, counts, path: str, title: str = "IF samples"):
     return path
 
 
-def plot_acq_surface(P, dopp_hz, path: str, title: str = "acquisition"):
+def plot_acq_surface(P, dopp_hz, path: str, title: str = "acquisition",
+                     scale: float = 1.0, codei: int | None = None):
     """Doppler x code-phase power surface (reference pltacq view,
-    src/sdrmain.c:258-261)."""
+    src/sdrmain.c:258-261).  ``scale``: full-rate samples per surface
+    code-phase cell (> 1 when the surface came from the coarse search
+    grid) so the x axis — and the optional full-rate ``codei`` marker —
+    stay in samples."""
     plt = _plt()
     if plt is None:
         return None
     P = np.asarray(P)
     fig, ax = plt.subplots(figsize=(8, 4))
     im = ax.imshow(P, aspect="auto", origin="lower",
-                   extent=[0, P.shape[1], dopp_hz[0], dopp_hz[-1]])
+                   extent=[0, P.shape[1] * scale, dopp_hz[0], dopp_hz[-1]])
+    if codei is not None:
+        ax.axvline(codei, color="w", ls="--", lw=0.8, alpha=0.7)
     ax.set_xlabel("code phase (samples)")
     ax.set_ylabel("Doppler (Hz)")
     ax.set_title(title)

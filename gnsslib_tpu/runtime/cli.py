@@ -55,6 +55,47 @@ def _honor_jax_platforms() -> None:
             pass
 
 
+def _install_stop_handlers(rx, quiet: bool) -> None:
+    """Graceful interruption (the reference's keythread 'q' -> stopflag
+    -> quitsdr teardown, src/sdrmain.c:59-80,190-218): SIGINT/SIGTERM —
+    and 'q' on a tty — stop the run loop at the next block boundary, so
+    pipelined blocks flush and RINEX/pos writers close complete.  A
+    second signal force-exits (a hung relay must stay interruptible)."""
+    import signal
+    import threading
+
+    seen = []
+
+    def _handler(signum, frame):
+        if seen:
+            raise KeyboardInterrupt
+        seen.append(signum)
+        if not quiet:
+            print("\nstopping: flushing pipelined blocks and closing "
+                  "outputs (signal again to force quit)", file=sys.stderr)
+        rx.request_stop()
+
+    for s in (signal.SIGINT, signal.SIGTERM):
+        try:
+            signal.signal(s, _handler)
+        except (ValueError, OSError):      # non-main thread / platform
+            return
+
+    if sys.stdin is not None and sys.stdin.isatty():
+        def _keythread():
+            while not rx.stop_requested:
+                try:
+                    c = sys.stdin.read(1)
+                except (OSError, ValueError):
+                    return
+                if not c:
+                    return                  # stdin EOF
+                if c.lower() == "q":
+                    rx.request_stop()
+                    return
+        threading.Thread(target=_keythread, daemon=True).start()
+
+
 def main(argv=None) -> int:
     _honor_jax_platforms()
     ap = argparse.ArgumentParser(
@@ -79,6 +120,10 @@ def main(argv=None) -> int:
     ap.add_argument("--spec", action="store_true",
                     help="write IF spectrum/histogram diagnostics "
                          "(also enabled by [SPECTRUM] SPEC=1)")
+    ap.add_argument("--watch", action="store_true",
+                    help="live terminal dashboard (lock, C/N0, Doppler, "
+                         "nav, epoch table; SPEC_MS refresh) instead of "
+                         "the one-line progress counter")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a JAX profiler trace of the run")
     ap.add_argument("--checkpoint", metavar="PATH", default=None,
@@ -199,7 +244,9 @@ def main(argv=None) -> int:
                     view["surface"], view["dopp_hz"],
                     _os.path.join(_outdir, f"acq_{ch.cfg.prn:02d}.png"),
                     title=(f"PRN {ch.cfg.prn} acq @ {view['t']:.1f}s "
-                           f"C/N0 {view['cn0']:.1f} dB-Hz"))
+                           f"C/N0 {view['cn0']:.1f} dB-Hz"),
+                    scale=view.get("grid_scale", 1.0),
+                    codei=view.get("codei"))
             for r in parts:
                 r.on_acq = _acq_view
     live = any(getattr(f, "is_live", False) for f in fes)
@@ -210,13 +257,23 @@ def main(argv=None) -> int:
               f"f_sf={spec.f_sf/1e6:.3f} MHz, f_if={spec.f_if/1e6:.3f} MHz, "
               f"{src}")
 
+    watch = None
+    if args.watch:
+        # operator live view (reference gnuplot windows,
+        # src/sdrplot.c:336-394 / sdrmain.c:258-299; see diag/watch.py)
+        from ..diag.watch import Watch
+        watch = Watch(rx)
+
     def progress(t):
-        if not args.quiet:
+        if watch is not None:
+            watch.tick(t)
+        elif not args.quiet:
             locked = sum(ch.locked for ch in rx.channels)
             dec = sum(ch.nav.flagdec for ch in rx.channels)
             print(f"\r  t={t:7.1f}s locked={locked} decoded={dec} "
                   f"epochs={rx.epochs_written}", end="", flush=True)
 
+    _install_stop_handlers(rx, args.quiet)
     runner = rx.run_live if live else rx.run_seconds
     if args.profile:
         import jax

@@ -59,6 +59,15 @@ class ReceiverConfig:
     ref_week: int = 2200
     relock: bool = False      # loss-of-lock detection + reacquisition
                               # (absent in the reference; SURVEY.md §5)
+    pullin_timeout: float = 8.0  # RELOCK pull-in watchdog: reset a locked
+                              # channel with no nav bit sync after this
+                              # many seconds.  Healthy channels sync
+                              # ~3-4.5 s after lock here (the framer's
+                              # 2 s settle window + ~2 s of edge votes
+                              # at NAVSYNCTH=50 + pipeline latency,
+                              # nav/framer.py); a faded or false lock
+                              # never does — 8 s is ~2x the healthy
+                              # worst case
     acqconfirm: bool = False  # acquisition false-lock guard: even/odd
                               # integration halves must agree on the peak
                               # (reference accepts the first pass,
@@ -186,6 +195,7 @@ def load_ini(path: str) -> ReceiverConfig:
         spec=bool(_geti(cp, "SPECTRUM", "SPEC", 0)),
         # extension knobs (absent in the reference INI schema)
         relock=bool(_geti(cp, "RCV", "RELOCK", 0)),
+        pullin_timeout=_getf(cp, "RCV", "PULLINTMO", 8.0),
         acqconfirm=bool(_geti(cp, "RCV", "ACQCONFIRM", 0)),
         spp=bool(_geti(cp, "OUTPUT", "SPP", 0)),
         smooth=_geti(cp, "OUTPUT", "SMOOTH", 0),

@@ -55,8 +55,13 @@ class ChannelRuntime:
     locked: bool = False
     synced: bool = False
     last_acq_attempt: float = -1e9
+    t_acq: float = -1e9      # stream time the current lock started
     cn0: float = 0.0
     peak_prompt: float = 0.0
+    # host-side shadows of the last collected block's telemetry for the
+    # operator dashboard (diag/watch.py) — NEVER read from the device
+    dcarr_live: float = 0.0
+    prompt_live: float = 0.0
 
 
 class OutputHub:
@@ -260,6 +265,10 @@ class Receiver:
                              else bool(pipeline_acq))
         # in-flight pipelined acquisition: (handle, base, t_disp, pend_idx)
         self._acq_inflight = None
+        # cooperative stop (the reference's keythread 'q' -> stopflag,
+        # src/sdrmain.c:59-80): run loops exit at the next block boundary
+        # and flush pipelined blocks, so writers close complete
+        self.stop_requested = False
         spec = cfg.fends[ftype - 1]
         self.spec = spec
         chans = (list(channels) if channels is not None else
@@ -470,6 +479,7 @@ class Receiver:
                 tc_samp = self.trk._clens[i] / cfreq * self.spec.f_sf
                 codei = int(round((codei - delta) % tc_samp))
             ch.locked = True
+            ch.t_acq = self.base / self.spec.f_sf
             ch.cn0 = float(res.cn0[i])
             self.state = self.trk.start_channels(
                 self.state, [i], [codei], [dcarr])
@@ -478,9 +488,13 @@ class Receiver:
                 ("acq", t_disp, ch.cfg.prn, float(res.cn0[i]),
                  float(res.peakr[i])))
             if res.P is not None:
+                # grid_scale: full-rate samples per surface code-phase
+                # cell (> 1 with coarse acquisition) — codei is always
+                # full-rate, so surface consumers divide by it
                 view = dict(surface=np.asarray(res.P[i]),
                             dopp_hz=self.acq.dopp_hz,
                             codei=int(res.codei[i]),
+                            grid_scale=float(self.acq.scale),
                             cn0=float(res.cn0[i]), t=t_disp)
                 self.acq_views[ch.cfg.prn] = view
                 if self.on_acq is not None:
@@ -557,6 +571,7 @@ class Receiver:
                 self.state, [ch.idx], [loc], [-D])
             self._cnt_host[ch.idx] = 0
             ch.locked = True
+            ch.t_acq = t_stream
             ch.last_acq_attempt = t_stream
             self._events.append(("hot", t_stream, ch.cfg.prn,
                                  float(-D), loc))
@@ -574,6 +589,9 @@ class Receiver:
             i = ch.idx
             was_started = int(cnt0[i])
             steps = out.ip.shape[0]
+            # dashboard shadows (host arrays; no device read)
+            ch.dcarr_live = float(out.dcarr[-1, i])
+            ch.prompt_live = float(np.median(np.abs(out.ip[:, i])))
             # a channel acquired THIS block produced outputs only from its
             # start; cnt0 is 0 for it and all steps are valid
             evs = ch.nav.update(
@@ -605,6 +623,8 @@ class Receiver:
                         t=base / self.spec.f_sf)
             if self.cfg.relock and ch.synced:
                 self._check_lock(ch, out, base)
+            elif self.cfg.relock and not ch.synced:
+                self._check_pullin(ch, base)
             if ch.nav.flagdec:
                 ch.hist.update(
                     cnts=was_started + np.arange(steps),
@@ -664,16 +684,37 @@ class Receiver:
         else:
             lost = p_med < 0.15 * max(ch.peak_prompt, 1e-9)
         if lost:
-            ch.locked = False
-            ch.synced = False
-            ch.nav = NavChannel(ch.cfg.ctype, ch.cfg.prn,
-                                ref_week=self.cfg.ref_week)
-            ch.hist.nrec = 0
-            ch.last_acq_attempt = -1e9
-            self._events.append(("lol", base / self.spec.f_sf,
-                                ch.cfg.prn))
+            self._reset_channel(ch, base / self.spec.f_sf)
         else:
             ch.peak_prompt = max(ch.peak_prompt, p_med)
+
+    def _reset_channel(self, ch, t_stream: float) -> None:
+        """Shared loss-of-lock teardown: drop the lock, clear nav and
+        observable state, and make the channel immediately eligible for
+        the next acquisition pass (lol event path)."""
+        ch.locked = False
+        ch.synced = False
+        ch.nav = NavChannel(ch.cfg.ctype, ch.cfg.prn,
+                            ref_week=self.cfg.ref_week)
+        ch.hist.nrec = 0
+        ch.last_acq_attempt = -1e9
+        self._events.append(("lol", t_stream, ch.cfg.prn))
+
+    def _check_pullin(self, ch, base: int) -> None:
+        """Pull-in watchdog: a channel that reaches no nav bit sync
+        within ``pullin_timeout`` seconds of acquisition is tracking
+        noise — a satellite that faded DURING pull-in, or a false lock
+        that survived the even/odd ACQCONFIRM test.  _check_lock's
+        noise-floor test only runs after bit sync (its coherent sums need
+        the swloop cadence), so without this watchdog such a channel
+        integrates noise forever — exactly the reference failure mode
+        (no relock at all, src/sdracq.c:57-59) the relock feature exists
+        to fix.  Healthy channels bit-sync ~3-4.5 s after lock (the
+        framer's 2 s settle window + ~2 s of NAVSYNCTH edge votes +
+        pipeline latency), so the 8 s default has ~2x margin."""
+        t_stream = base / self.spec.f_sf
+        if t_stream - ch.t_acq > self.cfg.pullin_timeout:
+            self._reset_channel(ch, t_stream)
 
     # ------------------------------------------------------------------ #
     def collect_obs_inputs(self) -> list[ChannelObsInput]:
@@ -732,7 +773,7 @@ class Receiver:
             base=self.base, oldreftow=self.hub._oldreftow,
             state=st,
             channels=[(ch.locked, ch.synced, ch.last_acq_attempt,
-                       ch.cn0, ch.peak_prompt, ch.nav, ch.hist)
+                       ch.cn0, ch.peak_prompt, ch.nav, ch.hist, ch.t_acq)
                       for ch in self.channels],
             epochs=self.epochs_written, ephs=self.ephs_written)
 
@@ -742,11 +783,13 @@ class Receiver:
         self.state = dataclasses.replace(
             self.state, **{k: jnp.asarray(v) for k, v in d["state"].items()})
         self._cnt_host = np.asarray(d["state"]["cnt"], np.int64).copy()
-        for ch, (locked, synced, laa, cn0, pk, nav, hist) in zip(
-                self.channels, d["channels"]):
+        for ch, rec in zip(self.channels, d["channels"]):
+            (locked, synced, laa, cn0, pk, nav, hist), rest = \
+                rec[:7], rec[7:]
             ch.locked, ch.synced = locked, synced
             ch.last_acq_attempt, ch.cn0, ch.peak_prompt = laa, cn0, pk
             ch.nav, ch.hist = nav, hist
+            ch.t_acq = rest[0] if rest else -1e9
         self.hub.epochs_written = d["epochs"]
         self.hub.ephs_written = d["ephs"]
 
@@ -828,7 +871,19 @@ class Receiver:
         self._emit_epochs()
 
     def flush(self) -> None:
-        """Finalize the in-flight pipelined blocks (no-op when none)."""
+        """Finalize the in-flight pipelined blocks (no-op when none).
+
+        An in-flight acquisition search is collected first: a search
+        dispatched on the last block before a flush/checkpoint/EOF must
+        not be silently dropped — a checkpoint taken with a search in
+        flight would otherwise lose the pending lock and a resumed run
+        would re-search ACQSLEEP later than an uninterrupted one
+        (_apply_acq's delta math handles the base offset)."""
+        if self._acq_inflight is not None:
+            handle, base_s, t_disp, pend_idx = self._acq_inflight
+            self._acq_inflight = None
+            self._apply_acq(self.acq.search_dev_collect(handle),
+                            base_s, t_disp, pend_idx)
         pending, self._pending = self._pending, []
         for p in pending:
             self._collect(*p)
@@ -860,7 +915,7 @@ class Receiver:
         target = (None if seconds is None
                   else int(seconds * self.spec.f_sf))
         nblocks = 0
-        while True:
+        while not self.stop_requested:
             if target is not None and \
                     self.base + self.nsteps * self.nsamp > target:
                 break
@@ -884,13 +939,18 @@ class Receiver:
         t_start = time.time()
         end_sample = self.end_sample(seconds)
         nblocks = 0
-        while self.can_step(end_sample):
+        while not self.stop_requested and self.can_step(end_sample):
             self.step_block()
             nblocks += 1
             if progress:
                 progress(self.base / self.spec.f_sf)
         self.flush()
         return self._summary(t_start, nblocks)
+
+    def request_stop(self) -> None:
+        """Ask the run loop to stop at the next block boundary (signal /
+        'q'-key safe: just sets a flag)."""
+        self.stop_requested = True
 
 
 class MultiReceiver:
@@ -992,6 +1052,14 @@ class MultiReceiver:
             r.flush()
         self.hub.close()
 
+    @property
+    def stop_requested(self) -> bool:
+        return any(r.stop_requested for r in self.rx)
+
+    def request_stop(self) -> None:
+        for r in self.rx:
+            r.request_stop()
+
     def _step_all(self) -> None:
         for r in self.rx:
             r.step_block()
@@ -1023,7 +1091,8 @@ class MultiReceiver:
         t_start = time.time()
         ends = [r.end_sample(seconds) for r in self.rx]
         nblocks = 0
-        while all(r.can_step(e) for r, e in zip(self.rx, ends)):
+        while not self.stop_requested and \
+                all(r.can_step(e) for r, e in zip(self.rx, ends)):
             self._step_all()
             nblocks += 1
             if progress:
@@ -1040,7 +1109,7 @@ class MultiReceiver:
         r0 = self.rx[0]
         target = None if seconds is None else int(seconds * r0.spec.f_sf)
         nblocks = 0
-        while True:
+        while not self.stop_requested:
             if target is not None and \
                     r0.base + r0.nsteps * r0.nsamp > target:
                 break

@@ -75,7 +75,14 @@ def synthesize():
 
 
 def run(pipeline: bool, nsteps: int = 400, depth: int = 2) -> dict:
+    import contextlib
     import tempfile
+    with contextlib.ExitStack() as stack:
+        return _run(pipeline, nsteps, depth, stack.enter_context(
+            tempfile.TemporaryDirectory(prefix="gnsslib_rxbench_")))
+
+
+def _run(pipeline: bool, nsteps: int, depth: int, rinexdir: str) -> dict:
     from gnsslib_tpu.constants import DType, FrontendType
     from gnsslib_tpu.io.frontend import FileFrontend, FrontendSpec
     from gnsslib_tpu.runtime.config import ReceiverConfig, ChannelConfig
@@ -89,7 +96,7 @@ def run(pipeline: bool, nsteps: int = 400, depth: int = 2) -> dict:
         fends=[spec], files=[CACHE],
         track=TrackConfig(corrn=6, corrd=3, corrp=6),   # iffile.ini
         outms=400, rinex=True,                 # full output path ON
-        rinexpath=tempfile.mkdtemp(prefix="gnsslib_rxbench_"))
+        rinexpath=rinexdir)
     rx = Receiver(cfg, FileFrontend(CACHE, spec), pipeline=pipeline,
                   nsteps_per_block=nsteps, pipeline_depth=depth)
     # compile warmup: first block(s) hit acq + slow-track compiles; run
