@@ -107,6 +107,14 @@ class FastTracker:
         # every tap lag d = smax+o in [0, 2*smax] for any lane j < 128
         self._diag_wl = 128 * ((128 + 2 * self.smax + 127) // 128)
         self._diag_split = True
+        self._diag_u_bf16 = True   # see _taps_diag: bf16 Gram outputs
+        # window fetch output dtype: bf16 halves the rotated-row stream.
+        # Lossless relative to f32 output: the row pairs are already cast
+        # to bf16 before the one-hot rotation matmul (which only SELECTS
+        # values), so the output alphabet is bf16 either way — and for
+        # the 8-bit front-end sample alphabet every real capture path
+        # produces (io/formats.py LUT outputs) even that cast is exact.
+        self._fetch_bf16 = True
 
     # ------------------------------------------------------------------ #
     def init_state(self) -> TrackState:
@@ -168,7 +176,9 @@ class FastTracker:
            through [row_j | row_j+1] (256) x one-hot (256, 128).
 
         The one-hot has exactly one 1 per column, so the bf16 matmul
-        SELECTS values exactly (samples are 8-bit-alphabet, bf16-exact).
+        SELECTS values exactly (samples are 8-bit-alphabet, bf16-exact);
+        the rotated rows come back bf16 for the same reason, halving the
+        window stream into the correlator.
         Net: 1.50 -> 0.86 ms/super-step for fetch+correlate.
         """
         B = wstart.shape[0]
@@ -189,7 +199,8 @@ class FastTracker:
                                     axis=2).astype(jnp.bfloat16)
             rot = jax.lax.dot_general(
                 pairs, E, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)       # (B, NR-1, 128)
+                preferred_element_type=(jnp.bfloat16 if self._fetch_bf16
+                                        else jnp.float32))  # (B, NR-1, 128)
             if rowform:
                 return rot
             return rot.reshape(B, (NR - 1) * 128)[:, :self.nwin]
@@ -229,7 +240,8 @@ class FastTracker:
         the bf16/int8 kernel (bf16 products, f32 accumulation) up to
         summation order.
 
-        winrows: (B, K, 128) f32 rotated window rows (or (I, Q) tuple)
+        winrows: (B, K, 128) bf16 rotated window rows (or (I, Q) tuple;
+                 8-bit sample alphabet, so bf16 is exact)
         rc:      (B, next) int8/f32 replica rows
         rem/ftot/n: (B,) carrier phase, rate, valid length
         Returns (B, 2*ntaps) f32 interleaved [cos_t, sin_t].
@@ -238,20 +250,35 @@ class FastTracker:
         K = self._fetch_nr - 1
         Wl = self._diag_wl
         nrg = Wl // 128
-        i = (jnp.arange(K, dtype=jnp.float32)[:, None] * 128.0
-             + jnp.arange(128, dtype=jnp.float32)[None, :])    # (K, 128)
-        ph = frac(frac(ftot[:, None, None] * i[None]) + rem[:, None, None])
-        ang = (2.0 * PI) * ph
-        cosv = jnp.cos(ang)
-        sinv = jnp.sin(ang)
+        # factored carrier (angle addition): with i = 128k + j the mixing
+        # angle splits as 2*pi*(ftot*i + rem) = theta_k + phi_j (mod 2*pi),
+        # theta_k at the row starts and phi_j the in-row ramp — 2*(K+128)
+        # transcendentals per window instead of 2*K*128 (the profile's
+        # "sin/cos shave"); products of f32 cos/sin keep the same phase
+        # accuracy as the direct form (the ftot*i product rounding, which
+        # both share, dominates)
+        kk = jnp.arange(K, dtype=jnp.float32) * 128.0            # (K,)
+        th = (2.0 * PI) * frac(frac(ftot[:, None] * kk[None, :])
+                               + rem[:, None])                    # (B, K)
+        ck = jnp.cos(th)[..., None]                               # (B, K, 1)
+        sk = jnp.sin(th)[..., None]
+        jj = jnp.arange(128, dtype=jnp.float32)
+        phj = (2.0 * PI) * (ftot[:, None] * jj[None, :])          # (B, 128)
+        cj = jnp.cos(phj)[:, None, :]                             # (B, 1, 128)
+        sj = jnp.sin(phj)[:, None, :]
+        i = kk[:, None] + jj[None, :]                             # (K, 128)
         mask = i[None] < n[:, None, None].astype(jnp.float32)
         if isinstance(winrows, tuple):
-            wr, wi = winrows
-            wc = jnp.where(mask, wr * cosv - wi * sinv, 0.0)
-            ws = jnp.where(mask, wr * sinv + wi * cosv, 0.0)
+            wr = jnp.where(mask, winrows[0].astype(jnp.float32), 0.0)
+            wi = jnp.where(mask, winrows[1].astype(jnp.float32), 0.0)
+            a = wr * ck - wi * sk
+            b = wr * sk + wi * ck
         else:
-            wc = jnp.where(mask, winrows * cosv, 0.0)
-            ws = jnp.where(mask, winrows * sinv, 0.0)
+            w = jnp.where(mask, winrows.astype(jnp.float32), 0.0)
+            a = w * ck
+            b = w * sk
+        wc = a * cj - b * sj
+        ws = b * cj + a * sj
 
         pad = 128 * (K + nrg) - rc.shape[1]
         rcf = rc.astype(jnp.bfloat16)
@@ -270,6 +297,14 @@ class FastTracker:
         col_sin = jnp.asarray(
             np.tile(np.asarray([0, 1], np.int32), len(doff)))
 
+        # bf16 Gram outputs: U entries are f32-accumulated in the MXU and
+        # rounded once on write, halving the (B, 128, 128) matrices' HBM
+        # round trip into the extractor.  The 13 tap sums then add 64
+        # such entries (f32 accumulation again); for the prompt tap the
+        # entries are near-equal, so the rounding averages down ~1/8 —
+        # measured well inside the path's existing bf16 tap tolerance.
+        u_t = jnp.bfloat16 if self._diag_u_bf16 else jnp.float32
+
         def extractor(nj, jbase, is_sin, nl):
             jj = jnp.arange(nj, dtype=jnp.int32)
             ll = jnp.arange(nl, dtype=jnp.int32)
@@ -277,7 +312,7 @@ class FastTracker:
                      == jbase[:, None, None] + col_d[None, None, :])
                     & (is_sin[:, None, None]
                        == (col_sin == 1)[None, None, :])
-                    ).astype(jnp.float32)
+                    ).astype(u_t)                 # one-hot: exact in bf16
 
         if self._diag_split and 2 * self.smax <= 64:
             # 64-lane j-split: every tap diagonal of each half fits in
@@ -290,23 +325,26 @@ class FastTracker:
             dims = (((1,), (1,)), ((0,), (0,)))
             UA = jax.lax.dot_general(
                 lhsA, rcp[:, :, :128], dims,
-                preferred_element_type=jnp.float32)            # (B,128,128)
+                preferred_element_type=u_t)                    # (B,128,128)
             UB = jax.lax.dot_general(
                 lhsB, rcp[:, :, 64:192], dims,
-                preferred_element_type=jnp.float32)
+                preferred_element_type=u_t)
             jj = jnp.arange(128, dtype=jnp.int32)
             D = extractor(128, jj % 64, jj >= 64, 128)
-            return (jnp.einsum("bjl,jlt->bt", UA, D)
-                    + jnp.einsum("bjl,jlt->bt", UB, D))
+            return (jnp.einsum("bjl,jlt->bt", UA, D,
+                               preferred_element_type=jnp.float32)
+                    + jnp.einsum("bjl,jlt->bt", UB, D,
+                                 preferred_element_type=jnp.float32))
 
         wcs = jnp.concatenate([wc, ws], axis=2).astype(jnp.bfloat16)
         U = jax.lax.dot_general(
             wcs, rcp, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)                # (B, 256, Wl)
+            preferred_element_type=u_t)                        # (B, 256, Wl)
         jj = jnp.arange(256, dtype=jnp.int32)
         D = extractor(256, jnp.where(jj < 128, jj, jj - 128), jj >= 128,
                       Wl)
-        return jnp.einsum("bjl,jlt->bt", U, D)
+        return jnp.einsum("bjl,jlt->bt", U, D,
+                          preferred_element_type=jnp.float32)
 
     def _replica_rows(self, consts, q_idx):
         """(C, L) quantized-phase indices -> (C*L, next) replica rows.
@@ -340,7 +378,8 @@ class FastTracker:
                   + frac(st["dcps"] * i)[None, :] + rem_k[:, None])
         rot = jnp.exp((2j * PI) * ph.astype(jnp.complex64))
         if win.ndim == 3:
-            mixed = jax.lax.complex(win[..., 0], win[..., 1]) * rot
+            mixed = jax.lax.complex(win[..., 0].astype(jnp.float32),
+                                    win[..., 1].astype(jnp.float32)) * rot
         else:
             mixed = win.astype(jnp.complex64) * rot
         mask = (i[None, :] < n_k[:, None].astype(jnp.float32))
