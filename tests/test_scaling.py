@@ -45,20 +45,22 @@ def test_multihost_full_receiver_two_processes():
                            "run serially")
 def test_scaling_efficiency_two_processes():
     """Weak-scaling efficiency 1 -> 2 processes at a production block
-    size.  Measured on this 4-core container: 0.83 at nsteps=400 (the
-    fixed per-block cross-process rendezvous amortizes with block size;
-    see ROADMAP.md).  Assert a margin below that to keep CI noise out."""
+    size, asserted at the BASELINE.md north-star floor (>=80%).
+    Measured on this 4-core container: 0.905 at nsteps=1200, 0.83 at
+    nsteps=400 (the fixed per-block cross-process rendezvous amortizes
+    with block size; see ROADMAP.md) — nsteps=1200 keeps ~10 points of
+    CI-noise margin above the floor."""
     import json
     res = None
     for attempt in range(2):          # other xdist workers share the cores
         r = subprocess.run(
             [sys.executable, os.path.join(TOOLS, "scaling_efficiency.py"),
-             "--nsteps", "400", "--blocks", "2"],
-            capture_output=True, text=True, timeout=900)
+             "--nsteps", "1200", "--blocks", "2"],
+            capture_output=True, text=True, timeout=1500)
         assert r.returncode == 0, r.stderr[-2000:]
         line = [ln for ln in r.stdout.splitlines()
                 if ln.startswith("{")][-1]
         res = json.loads(line)
-        if res["efficiency"] >= 0.70:
+        if res["efficiency"] >= 0.80:
             break
-    assert res["efficiency"] >= 0.70, res
+    assert res["efficiency"] >= 0.80, res
