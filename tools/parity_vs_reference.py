@@ -40,7 +40,8 @@ RTK_UNITS = ["rtkcmn", "rtcm", "rtcm2", "rtcm3", "rtcm3e", "rinex"]
 
 
 def build_reference(workdir: str, patch_g1: bool = False,
-                    patch_frtlsdr: bool = False) -> str:
+                    patch_frtlsdr: bool = False,
+                    fullenv: bool = False) -> str:
     src = os.path.join(REF, "src")
     rtk = os.path.join(REF, "lib", "RTKLIB", "src")
     rtl = os.path.join(src, "rcv", "rtlsdr")
@@ -48,11 +49,52 @@ def build_reference(workdir: str, patch_g1: bool = False,
     # end whose PPMERR/foffset path the reference wires, sdrinit.c:616);
     # the live USB symbols are satisfied by refshim/rtlsdrshim.c
     inc = ["-I" + SHIM, "-I" + src, "-I" + rtk, "-I" + rtl, "-DRTLSDR"]
+    # FFTMTX serializes every FFT execute behind one mutex
+    # (src/sdrcmn.c:136-148) because the reference plans inside
+    # cpxfft — real FFTW only needs the lock around planning.  The shim
+    # plans from immutable cached tables, so the full-envelope scenario
+    # (32 concurrent cold-start searches) drops the flag and lets
+    # channel threads FFT concurrently, as a real-FFTW build would.
+    fftmtx = [] if fullenv else ["-DFFTMTX"]
     objs = []
     for name, base in ([(u, src) for u in SDR_UNITS]
                        + [(u, rtk) for u in RTK_UNITS]
                        + [("rtlsdr", rtl)]):
         cfile = os.path.join(base, name + ".c")
+        if fullenv and name == "sdrinit":
+            # at 16.368 Msps the shim FFT makes the reference's
+            # compile-time ±7 kHz/71-bin cold-start grid (sdr.h:146-147)
+            # take minutes of CPU the paced replay won't wait for; the
+            # synthesized sky keeps every Doppler inside ±1.5 kHz, so a
+            # patched COPY narrows the REFERENCE grid to ±2 kHz.  (Our
+            # receiver still searches its full ±7 kHz grid — only the
+            # reference needs the allowance for its missing FFTW.)
+            txt = open(cfile).read().replace(
+                "    acq->hband=ACQHBAND;\n"
+                "    acq->step=ACQSTEP;\n"
+                "    acq->nfreq=2*(ACQHBAND/ACQSTEP)+1;",
+                "    acq->hband=2000; /* PATCH: shim-FFT budget */\n"
+                "    acq->step=ACQSTEP;\n"
+                "    acq->nfreq=2*(2000/ACQSTEP)+1;")
+            assert "shim-FFT budget" in txt, "sdrinit patch anchor moved"
+            cfile = os.path.join(workdir, "sdrinit.c")
+            open(cfile, "w").write(txt)
+        if fullenv and name == "sdrrcv":
+            # slow the paced file replay 3x (65536 B per 15 ms instead
+            # of per 5 ms): the reference stops AT EOF (sdrrcv.c:486-489
+            # sets stopflag on short read and every thread exits), so on
+            # this 4-core container a 16.368 Msps 32-channel run must
+            # stay under the replay rate or lose its tail mid-stream —
+            # equivalent to replaying from a slower disk, and obs
+            # content (what parity compares) is pacing-independent.
+            txt = open(cfile).read().replace(
+                "        file_pushtomembuf(); /* copy to membuffer */\n"
+                "        sleepms(5);",
+                "        file_pushtomembuf(); /* copy to membuffer */\n"
+                "        sleepms(15); /* PATCH: 4-core replay budget */")
+            assert "replay budget" in txt, "sdrrcv patch anchor moved"
+            cfile = os.path.join(workdir, "sdrrcv.c")
+            open(cfile, "w").write(txt)
         if patch_frtlsdr and name == "sdrinit":
             # reference bug: the FEND_FRTLSDR branch of initsdrch sets
             # foffset but never sdr->f_cf (sdrinit.c:616-617), leaving
@@ -81,7 +123,7 @@ def build_reference(workdir: str, patch_g1: bool = False,
             cfile = os.path.join(workdir, "sdrcode.c")
             open(cfile, "w").write(txt)
         obj = os.path.join(workdir, name + ".o")
-        subprocess.run(["gcc", "-c", "-O2", "-w", "-DFFTMTX", *inc,
+        subprocess.run(["gcc", "-c", "-O2", "-w", *fftmtx, *inc,
                         cfile, "-o", obj],
                        check=True, capture_output=True)
         objs.append(obj)
@@ -126,6 +168,62 @@ def synthesize_glo(workdir: str, seconds: float = 40.0) -> str:
                                seed=4000 + t0, t0=t0)
             sim.quantize_int8(x, 16.0).tofile(f)
     return path
+
+
+FULLENV_CACHE = "/tmp/gnsslib_parity_fullenv_16m.bin"
+
+
+def _fullenv_chans():
+    from gnsslib_tpu import sim
+    TOW0 = 352800.0
+    chans = []
+    for prn in range(1, 33):
+        eph = sim.example_eph(prn=prn, week=2200, toe_tow=TOW0)
+        frames = sim.lnav_bit_stream(eph, TOW0 + 6.0, nframes=4)
+        pad = np.concatenate([np.tile([1, -1], 149), [1, 1]]).astype(np.int8)
+        chans.append(sim.SimChannel(
+            prn=prn, doppler=250.0 * (prn % 13) - 1500.0,
+            code_phase=97.0 * prn, carr_phase=0.1 * prn,
+            nav_bits=np.concatenate([pad, frames])))
+    return chans
+
+
+def _fullenv_chunk(args):
+    t0, count, noise, scale = args
+    from gnsslib_tpu import sim
+    from gnsslib_tpu.constants import DType
+    x = sim.synthesize(_fullenv_chans(), 16.368e6, 4.092e6, DType.REAL,
+                       count, noise_std=noise, seed=5000 + t0, t0=t0)
+    return t0, sim.quantize_int8(x, scale)
+
+
+def synthesize_fullenv(seconds: float = 20.0) -> str:
+    """The reference's REAL post-processing envelope
+    (frontend/iffile.ini:6-8 + bin/gnss-sdrcli.ini NCH=32): 16.368 Msps
+    real-sampled IF at 4.092 MHz, int8, all 32 PRNs present with live
+    LNAV streams — the many-satellite epoch-alignment case neither
+    implementation sees in the small scenarios.  Cached under /tmp
+    (~8 min to synthesize once; 327 MB)."""
+    from concurrent.futures import ProcessPoolExecutor
+    from gnsslib_tpu import sim
+    from gnsslib_tpu.constants import DType
+    if os.path.exists(FULLENV_CACHE) and \
+            os.path.getsize(FULLENV_CACHE) == int(seconds * 16.368e6):
+        return FULLENV_CACHE
+    f_sf = 16.368e6
+    noise = sim.noise_std_for_cn0(1.0, 46.0, f_sf, DType.REAL)
+    # int8 scale clear of clipping for noise + the 32-signal composite
+    scale = 110.0 / (3.0 * np.sqrt(noise ** 2 + 32.0 / 2.0))
+    n = int(seconds * f_sf)
+    step = int(f_sf)
+    jobs = [(t0, min(step, n - t0), noise, scale)
+            for t0 in range(0, n, step)]
+    with open(FULLENV_CACHE + ".tmp", "wb") as f, \
+            ProcessPoolExecutor(max_workers=3) as ex:
+        for t0, q in ex.map(_fullenv_chunk, jobs):
+            q.tofile(f)
+    os.replace(FULLENV_CACHE + ".tmp", FULLENV_CACHE)
+    return FULLENV_CACHE
 
 
 def synthesize(workdir: str, seconds: float = 32.0, cn0: float = 47.0,
@@ -183,7 +281,35 @@ def synthesize(workdir: str, seconds: float = 32.0, cn0: float = 47.0,
 def write_configs(workdir: str, ifpath: str, ppm: float = 0.0,
                   rtl: bool = False):
     fend = os.path.join(workdir, "fend.ini")
-    if rtl:
+    scen = getattr(write_configs, "scenario", "gps")
+    if scen == "fullenv":
+        # the reference's own iffile.ini envelope (frontend/iffile.ini:
+        # 6-8 SF/IF/DTYPE, :29-48 correlator + loop bandwidths)
+        fe_sec = f"""[FEND]
+TYPE     =FILE
+CF1      =1575.42e6
+SF1      =16.368e6
+IF1      =4.092e6
+DTYPE1   =1
+CF2      =0.0
+SF2      =0.0
+IF2      =0.0
+DTYPE2   =0
+FILE1    ={ifpath}
+FILE2    =
+PPMERR   =0
+[TRACK]
+CORRN    =6
+CORRD    =3
+CORRP    =6
+DLLB1    =5.0
+PLLB1    =30.0
+FLLB1    =200.0
+DLLB2    =1.0
+PLLB2    =10.0
+FLLB2    =50.0
+"""
+    elif rtl:
         # mirror frontend/rtlsdr_L1.ini (file-replay twin FILERTLSDR)
         fe_sec = f"""[FEND]
 TYPE     =FILERTLSDR
@@ -235,19 +361,26 @@ PLLB2    =10.0
 FLLB2    =50.0
 """
     open(fend, "w").write(fe_sec)
-    scen = getattr(write_configs, "scenario", "gps")
-    chdef = (("5,1", "1,4", "1,20") if scen == "glo"
-             else ("3,21", "1,1", "1,1"))
+    if scen == "fullenv":
+        nch = 32
+        chdef = (",".join(str(p) for p in range(1, 33)),
+                 ",".join(["1"] * 32), ",".join(["1"] * 32))
+        ftdef = ",".join(["1"] * 32)
+    else:
+        nch = 2
+        chdef = (("5,1", "1,4", "1,20") if scen == "glo"
+                 else ("3,21", "1,1", "1,1"))
+        ftdef = "1,1"
     for tag, outdir in (("ref", "out_ref"), ("mine", "out_mine")):
         os.makedirs(os.path.join(workdir, outdir), exist_ok=True)
         open(os.path.join(workdir, f"cli_{tag}.ini"), "w").write(f"""[RCV]
 FENDCONF ={fend}
 [CHANNEL]
-NCH      =2
+NCH      ={nch}
 PRN      ={chdef[0]}
 SYS      ={chdef[1]}
 CTYPE    ={chdef[2]}
-FTYPE    =1,1
+FTYPE    ={ftdef}
 [PLOT]
 ACQ      =0
 TRK      =0
@@ -302,6 +435,11 @@ SCENARIOS = {
     # sim truth)
     "highdyn": dict(knobs=dict(doppler_rate=10.0, cn0=45.0), p_rms=6.0,
                     d_rms=0.6, n_common=20),
+    # the reference's REAL post-processing envelope: 16.368 Msps real
+    # IF, all 32 configured channels live (frontend/iffile.ini:6-8,
+    # bin/gnss-sdrcli.ini NCH=32) — exercises many-channel epoch
+    # alignment both implementations otherwise only see at 2-3 sats
+    "fullenv": dict(knobs={}, p_rms=5.0, d_rms=0.3, n_common=300),
 }
 
 
@@ -311,8 +449,10 @@ def run(keep: bool = False, scenario: str = "gps") -> dict:
     try:
         exe = build_reference(
             workdir, patch_g1=(scenario == "glo"),
-            patch_frtlsdr=spec["knobs"].get("rtl", False))
+            patch_frtlsdr=spec["knobs"].get("rtl", False),
+            fullenv=(scenario == "fullenv"))
         ifpath = (synthesize_glo(workdir) if scenario == "glo"
+                  else synthesize_fullenv() if scenario == "fullenv"
                   else synthesize(workdir, **spec["knobs"]))
         write_configs.scenario = scenario
         write_configs(workdir, ifpath,
@@ -353,10 +493,15 @@ def run(keep: bool = False, scenario: str = "gps") -> dict:
         dP = np.array([mine[k][0] - ref[k][0] for k in finite])
         dD = np.array([mine[k][2] - ref[k][2] for k in finite])
         # robust inlier mask: a reference TOW slip shifts its pseudorange
-        # by whole milliseconds (~300 km) — count those as dropouts, not
-        # as parity error, and compare the agreeing epochs
+        # by whole milliseconds (~300 km), and under many-channel load
+        # its sync thread snapshots a channel mid-update, producing
+        # single-epoch 30-90 Hz Doppler spikes correlated across PRNs
+        # (this framework's output is deterministic; the spikes revert
+        # to <0.3 Hz agreement the very next epoch) — count both as
+        # dropouts, not as parity error, and compare the agreeing epochs
         medP = float(np.median(dP))
-        inl = np.abs(dP - medP) < 1000.0
+        medD = float(np.median(dD))
+        inl = (np.abs(dP - medP) < 1000.0) & (np.abs(dD - medD) < 5.0)
         outlier_frac = float(1.0 - inl.mean()) if len(dP) else 1.0
         dPi = dP[inl]
         dDi = dD[inl]
