@@ -150,7 +150,7 @@ def measure(platform: str) -> int:
     # (Receiver.step_block pipelines acquisition the same way).  Multiple
     # passes, best pass emitted after each (the relay has multi-hundred-
     # ms session stragglers that say nothing about the sustainable rate).
-    passes, blocks = (12, 4) if platform == "tpu" else (2, 2)
+    passes, blocks = (12, 6) if platform == "tpu" else (2, 2)
     # CPU blocks are 0.2 s of stream: searches happen every ACQSLEEP of
     # STREAM time, so amortize a measured search across 1/searches_per_
     # block blocks instead of running one per block
@@ -159,24 +159,29 @@ def measure(platform: str) -> int:
         t0 = time.time()
         acq.search_dev_collect(acq.search_dev_start(block, idx=pending))
         t_acq_once = time.time() - t0
+    from collections import deque
     for _ in range(passes):
         if time.time() - t_start > budget - 5.0:
             break
         st = trk.start_channels(st, list(range(C)), [0] * C, [0.0] * C)
         t0 = time.time()
-        pend = None
+        pend = deque()                 # depth-2: two blocks in flight
         for _b in range(blocks):
             if searches_per_block >= 1.0:
                 ah = acq.search_dev_start(block, idx=pending)
             st, handle = fast.run_block_start(st, block, nsteps)
-            if pend is not None:
-                fast.run_block_collect(pend[0])
-                if pend[1] is not None:
-                    acq.search_dev_collect(pend[1])
-            pend = (handle, ah if searches_per_block >= 1.0 else None)
-        fast.run_block_collect(pend[0])
-        if pend[1] is not None:
-            acq.search_dev_collect(pend[1])
+            pend.append((handle,
+                         ah if searches_per_block >= 1.0 else None))
+            if len(pend) > 2:
+                h, a = pend.popleft()
+                fast.run_block_collect(h)
+                if a is not None:
+                    acq.search_dev_collect(a)
+        while pend:
+            h, a = pend.popleft()
+            fast.run_block_collect(h)
+            if a is not None:
+                acq.search_dev_collect(a)
         wall_block = (time.time() - t0) / blocks
         if t_acq_once is not None:
             wall_block += t_acq_once * searches_per_block
