@@ -111,6 +111,22 @@ class Watch:
             return
         self._next_t = t + self.interval
         text = render_text(self.rx, t)
+        # clamp to the terminal height: a frame taller than the screen
+        # scrolls as it prints, the cursor-up then under-shoots the
+        # frame start, and every refresh smears stale rows into the
+        # scrollback (32 channels > a 24-row terminal)
+        rows = 0
+        try:
+            import os
+            rows = os.get_terminal_size(self.out.fileno()).lines
+        except (OSError, ValueError, AttributeError):
+            pass
+        lines = text.splitlines()
+        if rows and len(lines) > rows - 1:
+            kept = max(rows - 2, 1)
+            lines = lines[:kept] + [f" … {len(lines) - kept} more rows "
+                                    f"(enlarge the terminal)"]
+            text = "\n".join(lines) + "\n"
         n = text.count("\n")
         # move up over the previous frame and overwrite in place
         # (no full-screen clear: scrollback above the table survives)

@@ -82,6 +82,22 @@ def _install_stop_handlers(rx, quiet: bool) -> None:
             return
 
     if sys.stdin is not None and sys.stdin.isatty():
+        # cbreak: deliver 'q' immediately (a canonical-mode tty would
+        # buffer it until Enter).  Set from the MAIN thread with an
+        # atexit restore — the daemon reader may die blocked in read()
+        # and would never run its own cleanup.
+        try:
+            import atexit
+            import termios
+            import tty
+            fd = sys.stdin.fileno()
+            saved = termios.tcgetattr(fd)
+            tty.setcbreak(fd)
+            atexit.register(
+                lambda: termios.tcsetattr(fd, termios.TCSADRAIN, saved))
+        except Exception:
+            pass
+
         def _keythread():
             while not rx.stop_requested:
                 try:

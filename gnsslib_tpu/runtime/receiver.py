@@ -698,6 +698,11 @@ class Receiver:
                             ref_week=self.cfg.ref_week)
         ch.hist.nrec = 0
         ch.last_acq_attempt = -1e9
+        # forget the old lock's prompt level: _check_lock's fallback
+        # test compares against peak_prompt, and a satellite returning
+        # ~17 dB weaker (still trackable) would otherwise be judged
+        # against the strong lock's peak and reset-loop forever
+        ch.peak_prompt = 0.0
         self._events.append(("lol", t_stream, ch.cfg.prn))
 
     def _check_pullin(self, ch, base: int) -> None:
@@ -789,7 +794,10 @@ class Receiver:
             ch.locked, ch.synced = locked, synced
             ch.last_acq_attempt, ch.cn0, ch.peak_prompt = laa, cn0, pk
             ch.nav, ch.hist = nav, hist
-            ch.t_acq = rest[0] if rest else -1e9
+            # 7-field records predate t_acq; anchor the pull-in watchdog
+            # to the checkpoint's stream time, not -1e9 — else RELOCK=1
+            # instantly resets every restored locked-but-unsynced channel
+            ch.t_acq = rest[0] if rest else d["base"] / self.spec.f_sf
         self.hub.epochs_written = d["epochs"]
         self.hub.ephs_written = d["ephs"]
 
@@ -844,8 +852,11 @@ class Receiver:
             # the in-flight blocks (if any) may feed nav state the slow
             # path depends on (bit sync of a just-acquired channel uses
             # other channels only through the shared clock — but keep
-            # strict order regardless)
-            self.flush()
+            # strict order regardless).  NOT the full flush(): draining
+            # the in-flight acquisition here would collect every
+            # pipelined search synchronously during pull-in, undoing the
+            # dispatch-now/decide-next-block overlap
+            self._flush_blocks()
         cnt0 = self._cnt_host.copy()
         locked0 = [ch.locked for ch in self.channels]
         block = self.cache.get(self.base, self.block_len)
@@ -874,16 +885,20 @@ class Receiver:
         """Finalize the in-flight pipelined blocks (no-op when none).
 
         An in-flight acquisition search is collected first: a search
-        dispatched on the last block before a flush/checkpoint/EOF must
-        not be silently dropped — a checkpoint taken with a search in
-        flight would otherwise lose the pending lock and a resumed run
-        would re-search ACQSLEEP later than an uninterrupted one
-        (_apply_acq's delta math handles the base offset)."""
+        dispatched on the last block before a checkpoint/EOF must not be
+        silently dropped — a checkpoint taken with a search in flight
+        would otherwise lose the pending lock and a resumed run would
+        re-search ACQSLEEP later than an uninterrupted one (_apply_acq's
+        delta math handles the base offset).  step_block's slow path
+        uses _flush_blocks instead, which leaves the search in flight."""
         if self._acq_inflight is not None:
             handle, base_s, t_disp, pend_idx = self._acq_inflight
             self._acq_inflight = None
             self._apply_acq(self.acq.search_dev_collect(handle),
                             base_s, t_disp, pend_idx)
+        self._flush_blocks()
+
+    def _flush_blocks(self) -> None:
         pending, self._pending = self._pending, []
         for p in pending:
             self._collect(*p)

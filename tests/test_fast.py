@@ -152,6 +152,50 @@ def test_fast_diag_matches_xla_iq():
     assert np.all(tail_x > 0.3 * e_x) and np.all(tail_d > 0.3 * e_d)
 
 
+def test_factored_carrier_phase_accuracy():
+    """The diag correlator's factored carrier (theta_k + phi_j angle
+    addition, _taps_diag) must stay within a bounded phase error of the
+    exact f64 carrier across the whole window — a drift-style bug would
+    slip past the IQ equivalence test above (whose post-horizon gate
+    tolerates chaotic divergence), so the angles are checked directly."""
+    rng = np.random.default_rng(4)
+    K = 129
+    jj64 = np.arange(128, dtype=np.float64)
+    kk64 = np.arange(K, dtype=np.float64) * 128.0
+    for _ in range(20):
+        ftot = np.float32(rng.uniform(-0.5, 0.5))
+        rem = np.float32(rng.uniform(0.0, 1.0))
+        # factored f32 path, exactly as _taps_diag computes it
+        kk = (np.arange(K, dtype=np.float32) * np.float32(128.0))
+        th = (2 * np.pi) * (((ftot * kk) % 1.0 + rem) % 1.0)
+        ck = np.cos(th, dtype=np.float32)[:, None]
+        sk = np.sin(th, dtype=np.float32)[:, None]
+        phj = ((2 * np.pi) * (ftot * np.arange(128, dtype=np.float32)))
+        cj = np.cos(phj, dtype=np.float32)[None, :]
+        sj = np.sin(phj, dtype=np.float32)[None, :]
+        cosv = ck * cj - sk * sj
+        sinv = sk * cj + ck * sj
+        # exact f64 carrier at every sample index
+        i64 = kk64[:, None] + jj64[None, :]
+        ang = 2 * np.pi * ((np.float64(ftot) * i64 + np.float64(rem))
+                           % 1.0)
+        # phase error in radians via the chord length
+        err = np.hypot(cosv - np.cos(ang), sinv - np.sin(ang))
+        # bounded absolutely (3e-4 cycles — far below tracking jitter)..
+        assert float(err.max()) < 2e-3, float(err.max())
+        # ..and no worse than the direct per-sample f32 form the round-2
+        # path used: both share the dominant ftot*i product rounding
+        # (which GROWS with i), so the factored form must track it, not
+        # add its own drift on top
+        i32 = i64.astype(np.float32)
+        ang32 = ((2 * np.pi)
+                 * (((ftot * i32) % 1.0 + rem) % 1.0)).astype(np.float32)
+        err_dir = np.hypot(np.cos(ang32, dtype=np.float32) - np.cos(ang),
+                           np.sin(ang32, dtype=np.float32) - np.sin(ang))
+        assert float(err.max()) < 2.0 * float(err_dir.max()) + 2e-4, \
+            (float(err.max()), float(err_dir.max()))
+
+
 def test_fast_pallas_interpret_matches_xla():
     """The fused Pallas correlator path (interpret mode on CPU) matches
     the XLA formulation through the full FastTracker."""

@@ -218,11 +218,14 @@ def synthesize_fullenv(seconds: float = 20.0) -> str:
     step = int(f_sf)
     jobs = [(t0, min(step, n - t0), noise, scale)
             for t0 in range(0, n, step)]
-    with open(FULLENV_CACHE + ".tmp", "wb") as f, \
+    # private temp + atomic publish: two concurrent builders must not
+    # interleave writes into one shared temp file
+    fd, tmp = tempfile.mkstemp(dir="/tmp", prefix="gnsslib_fullenv_")
+    with os.fdopen(fd, "wb") as f, \
             ProcessPoolExecutor(max_workers=3) as ex:
         for t0, q in ex.map(_fullenv_chunk, jobs):
             q.tofile(f)
-    os.replace(FULLENV_CACHE + ".tmp", FULLENV_CACHE)
+    os.replace(tmp, FULLENV_CACHE)
     return FULLENV_CACHE
 
 
@@ -501,8 +504,16 @@ def run(keep: bool = False, scenario: str = "gps") -> dict:
         # dropouts, not as parity error, and compare the agreeing epochs
         medP = float(np.median(dP))
         medD = float(np.median(dD))
-        inl = (np.abs(dP - medP) < 1000.0) & (np.abs(dD - medD) < 5.0)
+        inl_p = np.abs(dP - medP) < 1000.0
+        inl_d = np.abs(dD - medD) < 5.0
+        inl = inl_p & inl_d
         outlier_frac = float(1.0 - inl.mean()) if len(dP) else 1.0
+        # Doppler dropouts are bounded SEPARATELY and tighter: the gate
+        # exists for the reference's single-epoch snapshot spikes (a few
+        # epochs per run), and must not let a systematic Doppler
+        # disagreement of ours ride the generous TOW-slip allowance
+        d_outlier_frac = (float((inl_p & ~inl_d).mean())
+                          if len(dD) else 1.0)
         dPi = dP[inl]
         dDi = dD[inl]
         # a constant ALL-satellite pseudorange offset is a receiver-clock
@@ -523,6 +534,7 @@ def run(keep: bool = False, scenario: str = "gps") -> dict:
         stats = dict(
             n_common=len(common), n_ref=len(ref), n_mine=len(mine),
             nan_pairs=nan_pairs, outlier_frac=outlier_frac,
+            d_outlier_frac=d_outlier_frac,
             p_rms=float(np.sqrt((dPi ** 2).mean())) if len(dPi) else
             float("nan"),
             p_rms_clockfree=float(np.sqrt((dP_cf ** 2).mean()))
@@ -545,6 +557,7 @@ def run(keep: bool = False, scenario: str = "gps") -> dict:
               and stats["d_rms"] < spec["d_rms"]
               and int(inl.sum()) >= spec["n_common"]
               and outlier_frac <= 0.30
+              and d_outlier_frac <= 0.15
               and (nan_pairs + len(finite)) > 0
               and nan_pairs <= 0.3 * len(common))
         print(f"PARITY[{scenario}] " + ("PASS" if ok else "FAIL"))
