@@ -163,7 +163,7 @@ class FastTracker:
         return dict(d=d, n_k=n_k, remcode_k=remcode_k, rem_k=rem_k,
                     wstart=wstart, q_idx=q_idx)
 
-    def _fetch_windows(self, block2, wstart, rowform=False):
+    def _fetch_windows(self, block2, wstart, rowform=False, nvalid=None):
         """(B,) sample starts -> (B, nwin[, 2]) windows, without the
         vmapped dynamic_slice gather (measured ~0.65 ms/super-step for
         21 MB — XLA lowers batched arbitrary-offset slices poorly):
@@ -193,6 +193,13 @@ class FastTracker:
                                      + r[:, None, None])
              ).astype(jnp.bfloat16)                       # (B, 256, 128)
 
+        if nvalid is not None:
+            # valid-length mask fused into the rotation epilogue (free:
+            # an elementwise multiply on the dot output before write)
+            i_flat = (jnp.arange(NR - 1, dtype=jnp.int32)[None, :, None]
+                      * 128 + out_l[None, None, :])
+            vmask = (i_flat < nvalid[:, None, None]).astype(jnp.bfloat16)
+
         def rot_component(b2):
             rows = jnp.take(b2, idx, axis=0).reshape(B, NR, 128)
             pairs = jnp.concatenate([rows[:, :-1, :], rows[:, 1:, :]],
@@ -201,6 +208,8 @@ class FastTracker:
                 pairs, E, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=(jnp.bfloat16 if self._fetch_bf16
                                         else jnp.float32))  # (B, NR-1, 128)
+            if nvalid is not None:
+                rot = rot * vmask
             if rowform:
                 return rot
             return rot.reshape(B, (NR - 1) * 128)[:, :self.nwin]
@@ -343,6 +352,121 @@ class FastTracker:
         jj = jnp.arange(256, dtype=jnp.int32)
         D = extractor(256, jnp.where(jj < 128, jj, jj - 128), jj >= 128,
                       Wl)
+        return jnp.einsum("bjl,jlt->bt", U, D,
+                          preferred_element_type=jnp.float32)
+
+    def _split_D(self, u_t):
+        """Static one-hot diagonal extractor for the split Gram layout:
+        D[j', l, t] = 1 iff l == (j' % 64) + d_t and (j' >= 64) matches
+        tap t's sin flag.  Built from iotas so it is loop-invariant inside
+        the scan and never a closed-over device array."""
+        doff = np.asarray([int(o) + self.smax for o in
+                           np.asarray(self.offsets)], np.int32)
+        col_d = jnp.asarray(np.repeat(doff, 2))                # (2T,)
+        col_sin = jnp.asarray(
+            np.tile(np.asarray([0, 1], np.int32), len(doff)))
+        jj = jnp.arange(128, dtype=jnp.int32)
+        jbase = jj % 64
+        is_sin = jj >= 64
+        ll = jnp.arange(128, dtype=jnp.int32)
+        return ((ll[None, :, None]
+                 == jbase[:, None, None] + col_d[None, None, :])
+                & (is_sin[:, None, None]
+                   == (col_sin == 1)[None, None, :])
+                ).astype(u_t)                     # one-hot: exact in bf16
+
+    def _taps_fused(self, winrows, rc, rem, ftot, interpret=False):
+        """All-tap correlation via the fused Pallas mix+Gram kernel
+        (ops/pallas_gram.py): carrier mixing and both split Gram halves
+        stay in VMEM; only ONE bf16 (128, 128) U matrix per window round-
+        trips HBM, extracted here with the same split-layout one-hot
+        einsum as :meth:`_taps_diag`.  Windows must arrive pre-masked
+        (``_fetch_windows(..., nvalid=n)``).  Requires 2*smax <= 64."""
+        from ..ops.pallas_gram import gram_usum_impl
+        B = rem.shape[0]
+        K = self._fetch_nr - 1
+        Kp = -(-K // 32) * 32
+        iq = isinstance(winrows, tuple)
+
+        def padrows(w):
+            return jnp.pad(w, ((0, 0), (0, Kp - K), (0, 0))) \
+                if Kp != K else w
+        wi_ = padrows(winrows[0] if iq else winrows)
+        wq_ = padrows(winrows[1]) if iq else None
+        need = 128 * (Kp + 1)
+        pad = need - rc.shape[1]
+        rcp = jnp.pad(rc, ((0, 0), (0, pad))) if pad > 0 else \
+            rc[:, :need]
+        r2 = jnp.concatenate(
+            [rcp[:, :128 * Kp].reshape(B, Kp, 128),
+             rcp[:, 64:64 + 128 * Kp].reshape(B, Kp, 128)], axis=1)
+        padB = (-B) % 8
+        if padB:
+            wi_ = jnp.pad(wi_, ((0, padB), (0, 0), (0, 0)))
+            if iq:
+                wq_ = jnp.pad(wq_, ((0, padB), (0, 0), (0, 0)))
+            r2 = jnp.pad(r2, ((0, padB), (0, 0), (0, 0)))
+            rem = jnp.pad(rem, (0, padB))
+            ftot = jnp.pad(ftot, (0, padB))
+        usum = gram_usum_impl(wi_, wq_, r2, rem, ftot,
+                              interpret=interpret)
+        if padB:
+            usum = usum[:B]
+        D = self._split_D(jnp.bfloat16)
+        return jnp.einsum("bjl,jlt->bt", usum, D,
+                          preferred_element_type=jnp.float32)
+
+    def _taps_diag2(self, winrows, rc, rem, ftot, n):
+        """Single-dot variant of :meth:`_taps_diag`: both 64-lane j-halves
+        ride ONE sublane-concatenated batched Gram (the sum over rows is
+        order-free), so XLA materializes one packed lhs, one packed
+        replica, and ONE U matrix per window instead of two of each —
+        ~40% less HBM traffic than the two-dot split.  Same numerics
+        (bf16 operands, f32 accumulation, bf16 U).  Requires
+        2*smax <= 64."""
+        B = rem.shape[0]
+        K = self._fetch_nr - 1
+        kk = jnp.arange(K, dtype=jnp.float32)[None, :, None] * 128.0
+        jj = jnp.arange(128, dtype=jnp.float32)[None, None, :]
+        i = kk + jj                                        # (1, K, 128)
+        th = (2.0 * PI) * frac(frac(ftot[:, None, None] * kk)
+                               + rem[:, None, None])       # (B, K, 1)
+        ck = jnp.cos(th)
+        sk = jnp.sin(th)
+        ph = (2.0 * PI) * (ftot[:, None, None] * jj)       # (B, 1, 128)
+        cj = jnp.cos(ph)
+        sj = jnp.sin(ph)
+        mask = i < n[:, None, None].astype(jnp.float32)
+        if isinstance(winrows, tuple):
+            wr = jnp.where(mask, winrows[0].astype(jnp.float32), 0.0)
+            wi = jnp.where(mask, winrows[1].astype(jnp.float32), 0.0)
+            a = wr * ck - wi * sk
+            b = wr * sk + wi * ck
+        else:
+            w = jnp.where(mask, winrows.astype(jnp.float32), 0.0)
+            a = w * ck
+            b = w * sk
+        wc = a * cj - b * sj
+        ws = b * cj + a * sj
+        # packed lhs: rows [0, K) = [wc_lo | ws_lo], rows [K, 2K) =
+        # [wc_hi | ws_hi] per the 64-lane j-split
+        lhsA = jnp.concatenate([wc[..., :64], ws[..., :64]],
+                               axis=2).astype(jnp.bfloat16)
+        lhsB = jnp.concatenate([wc[..., 64:], ws[..., 64:]],
+                               axis=2).astype(jnp.bfloat16)
+        lhs2 = jnp.concatenate([lhsA, lhsB], axis=1)       # (B, 2K, 128)
+        need = 128 * (K + 1)
+        pad = need - rc.shape[1]
+        rcp = jnp.pad(rc, ((0, 0), (0, pad))) if pad > 0 else \
+            rc[:, :need]
+        rc2 = jnp.concatenate(
+            [rcp[:, :128 * K].reshape(B, K, 128),
+             rcp[:, 64:64 + 128 * K].reshape(B, K, 128)],
+            axis=1).astype(jnp.bfloat16)                   # (B, 2K, 128)
+        U = jax.lax.dot_general(
+            lhs2, rc2, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.bfloat16)           # (B, 128, 128)
+        D = self._split_D(jnp.bfloat16)
         return jnp.einsum("bjl,jlt->bt", U, D,
                           preferred_element_type=jnp.float32)
 
@@ -512,15 +636,23 @@ class FastTracker:
             rc = self._replica_rows(consts, geo["q_idx"])    # (C*L, next)
             C, L = geo["q_idx"].shape    # local C under shard_map
             B = C * L
-            if self.corr == "diag":
-                winr = self._fetch_windows(block2,
-                                           geo["wstart"].reshape(B),
-                                           rowform=True)
+            if self.corr in ("diag", "diag2", "fused", "fused-interpret"):
+                fused = self.corr.startswith("fused")
+                winr = self._fetch_windows(
+                    block2, geo["wstart"].reshape(B), rowform=True,
+                    nvalid=geo["n_k"].reshape(B) if fused else None)
                 ftot = jnp.broadcast_to(
                     (fconsts["fbt"] + st["dcps"])[:, None], (C, L))
-                z2 = self._taps_diag(
-                    winr, rc, geo["rem_k"].reshape(B),
-                    ftot.reshape(B), geo["n_k"].reshape(B))
+                if fused:
+                    z2 = self._taps_fused(
+                        winr, rc, geo["rem_k"].reshape(B),
+                        ftot.reshape(B),
+                        interpret=self.corr == "fused-interpret")
+                else:
+                    taps = (self._taps_diag2 if self.corr == "diag2"
+                            else self._taps_diag)
+                    z2 = taps(winr, rc, geo["rem_k"].reshape(B),
+                              ftot.reshape(B), geo["n_k"].reshape(B))
                 z2 = (z2 * jnp.float32(self.trk._tbl_scale)
                       ).reshape(C, L, -1)
                 cur_q = z2[..., 0::2]

@@ -104,6 +104,33 @@ def test_fast_diag_matches_xla():
     assert np.array_equal(s_upd, d_upd)
 
 
+def test_fast_fused_and_diag2_match_diag():
+    """The fused Pallas mix+Gram kernel (interpret mode on CPU) and the
+    single-dot diag2 formulation match the two-dot diag correlator
+    through the full FastTracker: same windows, same split-Gram layout,
+    same extractor — only summation order and one bf16 rounding site
+    differ.  Uses the non-128-multiple row count (K=33 -> padded to 64)
+    so the padding paths are exercised."""
+    trk, st, block = _locked_state()
+    fd = FastTracker(trk, use_pallas=False)
+    fd.corr = "diag"
+    _, out_d = fd.run_block(st, block, 600)
+    scale = np.max(np.abs(out_d.ip))
+    for corr in ("fused-interpret", "diag2"):
+        fv = FastTracker(trk, use_pallas=False)
+        fv.corr = corr
+        _, out_v = fv.run_block(st, block, 600)
+        assert np.array_equal(out_d.loc, out_v.loc), corr
+        for a, b in ((out_d.ip, out_v.ip), (out_d.qp, out_v.qp)):
+            d = np.abs(a - b)
+            outliers = int(np.sum(d > 5e-3 * scale))
+            assert outliers <= 3, (corr, outliers, float(d.max()))
+            assert np.median(d) < 1e-3 * scale, corr
+            c = np.corrcoef(a[:, 0], b[:, 0])[0, 1]
+            assert c > 0.999, (corr, c)
+        np.testing.assert_allclose(out_d.dcarr, out_v.dcarr, atol=0.5)
+
+
 def test_fast_diag_matches_xla_iq():
     """Diag correlator with a complex (I/Q-stacked) front end.
 

@@ -77,6 +77,8 @@ def main():
         print(f"{tag:8s} {dt/S*1e3:7.3f} ms/step  "
               f"({nsteps*nsamp/dt/1e6:6.1f} Msps)  compile {comp:.1f}s")
 
+    run_variant("fused", False, corr="fused")
+    run_variant("diag2", False, corr="diag2")
     run_variant("full", True)
     run_variant("diag", False, corr="diag")
     run_variant("xla", False)
