@@ -281,24 +281,37 @@ class Acquirer:
         produced, at the cost of one small einsum instead of a full-rate
         FFT grid."""
         rad = self.refine_rad
+        nlag = 2 * rad + 1
         d_cps = consts["d_cps"]
         nsamp = self.nsamp
-        i = jnp.arange(nsamp, dtype=jnp.int32)
+        nb = nsamp + 2 * rad
 
         def one(args):
             base_c, code_c, ci_d, fi = args
             cf = jnp.round(ci_d.astype(jnp.float32)
                            * np.float32(self.scale)).astype(jnp.int32)
-            lags = (cf + jnp.arange(-rad, rad + 1, dtype=jnp.int32)) % nsamp
+            s = (cf - rad) % nsamp
             j = jnp.arange(2 * nsamp, dtype=jnp.float32)
             ph = base_c + frac(d_cps[fi] * j)
             rot = jnp.exp((2j * jnp.pi) * ph.astype(jnp.complex64))
             y = jax.vmap(lambda d: self._to_complex(d) * rot)(data_rounds)
-            idx = lags[:, None] + i[None, :]          # (2*rad+1, nsamp)
-            yw = y[:, idx]                            # (rounds, 2*rad+1, nsamp)
-            z = jnp.einsum("roi,i->ro", yw, code_c.astype(jnp.complex64))
-            pw = jnp.sum(jnp.abs(z) ** 2, axis=0)     # (2R+1,)
-            return lags[jnp.argmax(pw)]
+            # one contiguous slice covering every lag window (tail wrapped
+            # circularly: sample 2*nsamp+t is code-periodic-equivalent to
+            # sample t — a nav-bit sign flip cannot change |z|), then ONE
+            # (rounds, nb) x (nb, nlag) matmul against the static
+            # shifted-code matrix: lag o's column is code delayed o
+            # samples.  Replaces a (rounds, nlag, nsamp) advanced-index
+            # gather (~22 MB/channel materialized + read) with ~4 MB.
+            ybig = jnp.concatenate([y, y[:, :2 * rad]], axis=1)
+            base = jax.lax.dynamic_slice(ybig, (0, s),
+                                         (ybig.shape[0], nb))
+            cmat = jnp.stack(
+                [jnp.pad(code_c, (o, 2 * rad - o)) for o in range(nlag)],
+                axis=1)                                  # (nb, nlag)
+            zr = jnp.real(base) @ cmat
+            zi = jnp.imag(base) @ cmat
+            pw = jnp.sum(zr * zr + zi * zi, axis=0)      # (nlag,)
+            return (s + jnp.argmax(pw).astype(jnp.int32)) % nsamp
         return jax.lax.map(one, (consts["base_phase"], consts["code_fr"],
                                  codei_d, freqi))
 

@@ -104,6 +104,166 @@ def _kernel(win_i_ref, win_q_ref, r2_ref, rem_ref, ftot_ref,
         out_ref[g] = U.astype(jnp.bfloat16)
 
 
+def _kernel_band(band_i_ref, band_q_ref, r2_ref, rem_ref, ftot_ref,
+                 ftot_s_ref, q_ref, r_ref, n_ref, out_ref, *, G, K, iq):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    f32 = jnp.float32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (K, 128), 1)
+    low = lane < 64
+    jj = lane.astype(f32)
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(f32)
+    kk = jax.lax.broadcasted_iota(
+        jnp.int32, (K, 1), 0).astype(f32) * 128.0
+    l256 = jax.lax.broadcasted_iota(jnp.int32, (256, 1), 0)
+    o128 = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 1)
+
+    rem = rem_ref[0]                                       # (1, G)
+    ftot = ftot_ref[0]
+    tht = (2.0 * PI) * _frac(_frac(kk * ftot) + rem)       # (K, G)
+    ckt = jnp.cos(tht)
+    skt = jnp.sin(tht)
+
+    K81 = K // 8 + 1
+
+    def load(band_ref, qq):
+        """(K, 128) window rows starting at band row ``qq``.  The band
+        arrives as 8 row-phase planes (p, m, s, :) = row 8m+s+p, so the
+        kernel only ever indexes UNTILED dims dynamically (Mosaic
+        requires dynamic offsets on the sublane dim to be tile-aligned:
+        'cannot statically prove index is a multiple of 8')."""
+        p = jax.lax.rem(qq, 8)
+        m0 = jax.lax.div(qq, 8)
+        r4 = band_ref[p, pl.ds(m0, K81)]                   # (K81, 8, 128)
+        return r4.reshape(K81 * 8, 128)[:K]
+
+    def fetch(band_ref, q, r):
+        """(K, 128) bf16 rotated window rows from the VMEM-resident
+        band: two phase-plane row loads + the one-hot residual-rotation
+        matmul (same math as the XLA fetch, now fed from a band the
+        whole super-step shares instead of a 21 MB/step HBM gather)."""
+        rowsA = load(band_ref, q)
+        rowsB = load(band_ref, q + 1)
+        pairs = jnp.concatenate([rowsA, rowsB], axis=1)    # (K, 256)
+        E = (l256 == o128 + r).astype(jnp.bfloat16)        # (256, 128)
+        return jax.lax.dot_general(
+            pairs.astype(jnp.bfloat16), E, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (K, 128)
+
+    def mix(g):
+        q = q_ref[g, 0]
+        r = r_ref[g, 0]
+        n = n_ref[g, 0]
+        mask = ((kk + jj) < n).astype(f32)
+        ck = ckt[:, g:g + 1]
+        sk = skt[:, g:g + 1]
+        wr = fetch(band_i_ref, q, r).astype(f32)
+        if iq:
+            wi = fetch(band_q_ref, q, r).astype(f32)
+            af = (wr * ck - wi * sk) * mask
+            bf = (wr * sk + wi * ck) * mask
+        else:
+            w = wr * mask
+            af = w * ck
+            bf = w * sk
+        ft = ftot_s_ref[g, 0]
+        ph = (2.0 * PI) * (ft * jrow)
+        cj = jnp.cos(ph)
+        sj = jnp.sin(ph)
+        wc = af * cj - bf * sj
+        ws = bf * cj + af * sj
+        rwc = pltpu.roll(wc, shift=64, axis=1)
+        rws = pltpu.roll(ws, shift=64, axis=1)
+        lhsA = jnp.where(low, wc, rws).astype(jnp.bfloat16)
+        lhsB = jnp.where(low, rwc, ws).astype(jnp.bfloat16)
+        return jnp.concatenate([lhsA, lhsB], axis=0)       # (2K, 128)
+
+    lhs_next = mix(0)
+    for g in range(G):
+        lhs = lhs_next
+        if g + 1 < G:
+            lhs_next = mix(g + 1)
+        rc2 = r2_ref[g].astype(jnp.bfloat16)               # (2K, 128)
+        U = jax.lax.dot_general(lhs, rc2, (((0,), (0,)), ((), ())),
+                                preferred_element_type=f32)  # (128, 128)
+        out_ref[g] = U.astype(jnp.bfloat16)
+
+
+def gram_usum_band_impl(band_i, band_q, r2, rem, ftot, q, r, n,
+                        interpret=False):
+    """Band-resident variant of :func:`gram_usum_impl`.
+
+    band_i: (NBAND, 128) bf16 contiguous 128-sample rows covering every
+            window of the super-step (real or I component); loaded into
+            VMEM ONCE (constant index map) instead of gathering
+            ~21 MB/step of per-window copies from HBM
+    band_q: like band_i for the Q component, or None for real signals
+    r2:     (B, 2K, 128) int8 replica halves as in gram_usum_impl
+    rem/ftot: (B,) f32 carrier phase (cycles) and rate (cycles/sample)
+    q:      (B,) int32 window start ROW within the band (pre-clamped to
+            [0, NBAND-K-1] — the caller flags out-of-band starts)
+    r:      (B,) int32 residual start within the row, in [0, 128)
+    n:      (B,) f32 valid samples per window (mask runs in-kernel:
+            there is no XLA window stream to pre-mask)
+    Returns (B, 128, 128) bf16 U in the split layout of gram_usum_impl.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, K2, _ = r2.shape
+    K = K2 // 2
+    G = 8
+    assert B % G == 0, "pad the batch to a multiple of 8"
+    assert K % 32 == 0, "pad window rows to a multiple of 32 (int8 tile)"
+    iq = band_q is not None
+    NBAND = band_i.shape[0]
+    # 8 row-phase planes: plane p holds rows 8m+s+p so the kernel's
+    # dynamic row loads touch only untiled dims (see _kernel_band.load)
+    NB8 = NBAND // 8 + 2
+
+    def phases(band):
+        padded = jnp.pad(band, ((0, NB8 * 8 + 8 - NBAND), (0, 0)))
+        return jnp.stack([padded[p:p + NB8 * 8].reshape(NB8, 8, 128)
+                          for p in range(8)])              # (8,NB8,8,128)
+
+    lmaj = lambda x: x.astype(jnp.float32).reshape(B // G, 1, G)
+    colf = lambda x: x.astype(jnp.float32).reshape(B, 1)
+    coli = lambda x: x.astype(jnp.int32).reshape(B, 1)
+    band_spec = pl.BlockSpec((8, NB8, 8, 128), lambda c: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    lmaj_spec = pl.BlockSpec((1, 1, G), lambda c: (c, 0, 0),
+                             memory_space=pltpu.VMEM)
+    scal_spec = pl.BlockSpec((G, 1), lambda c: (c, 0),
+                             memory_space=pltpu.SMEM)
+    kernel = functools.partial(_kernel_band, G=G, K=K, iq=iq)
+    args = [phases(band_i)]
+    in_specs = [band_spec]
+    if iq:
+        args.append(phases(band_q))
+        in_specs.append(band_spec)
+    else:
+        args.append(args[0][:1, :1])
+        in_specs.append(pl.BlockSpec((1, 1, 8, 128),
+                                     lambda c: (0, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    args += [r2, lmaj(rem), lmaj(ftot), colf(ftot), coli(q), coli(r),
+             colf(n)]
+    in_specs += [
+        pl.BlockSpec((G, 2 * K, 128), lambda c: (c, 0, 0),
+                     memory_space=pltpu.VMEM),
+        lmaj_spec, lmaj_spec, scal_spec, scal_spec, scal_spec, scal_spec,
+    ]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, 128, 128), jnp.bfloat16),
+        grid=(B // G,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((G, 128, 128), lambda c: (c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+
+
 def gram_usum_impl(win_i, win_q, r2, rem, ftot, interpret=False):
     """Fused mix+Gram for a flattened window batch.
 

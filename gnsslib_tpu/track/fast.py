@@ -103,6 +103,11 @@ class FastTracker:
         # rows per window for the take-based fetch: nwin rounded up to
         # whole 128-rows, +1 halo row for the residual-rotation pair
         self._fetch_nr = (self.nwin + 127) // 128 + 1
+        # band rows for the band-resident kernel: every window of one
+        # super-step (L periods x C channels) plus one code period of
+        # channel spread and the window extent
+        self._band_rows = (-(-((self.L + 1) * self.n_nom + self.nwin
+                               + 512) // 128) + 8)
         # diag-correlator geometry: replica row-pair lane width covering
         # every tap lag d = smax+o in [0, 2*smax] for any lane j < 128
         self._diag_wl = 128 * ((128 + 2 * self.smax + 127) // 128)
@@ -470,6 +475,62 @@ class FastTracker:
         return jnp.einsum("bjl,jlt->bt", U, D,
                           preferred_element_type=jnp.float32)
 
+    def _taps_band(self, block2, wstart, rc, rem, ftot, n,
+                   interpret=False):
+        """All-tap correlation via the band-resident Pallas kernel
+        (ops/pallas_gram.py gram_usum_band_impl): ONE contiguous slice of
+        the block covering every window of the super-step is DMA'd to
+        VMEM per step (~0.4 MB bf16), and each window fetches its rows
+        from it in-kernel (dynamic row slice + one-hot MXU rotation) —
+        the 21 MB/step per-window HBM gather disappears.  Returns
+        (taps, ok) where ``ok`` is False if any window start fell
+        outside the band (channel spread beyond one code period — the
+        caller must treat the step's outputs as invalid)."""
+        from ..ops.pallas_gram import gram_usum_band_impl
+        B = rem.shape[0]
+        K = self._fetch_nr - 1
+        Kp = -(-K // 32) * 32
+        iq = isinstance(block2, tuple)
+        nrow = (block2[0] if iq else block2).shape[0]
+        NBAND = self._band_rows
+        # band placement: align to 128 rows at the earliest window
+        p0 = jnp.clip(jnp.min(wstart) // 128, 0, nrow - NBAND)
+        qrow = wstart // 128 - p0
+        rres = wstart - (wstart // 128) * 128
+        ok = jnp.all((qrow >= 0) & (qrow + Kp + 1 <= NBAND))
+        qrow = jnp.clip(qrow, 0, NBAND - Kp - 1)
+
+        def band_of(b2):
+            rows = jax.lax.dynamic_slice(b2, (p0, 0), (NBAND, 128))
+            return rows.astype(jnp.bfloat16)
+        band_i = band_of(block2[0] if iq else block2)
+        band_q = band_of(block2[1]) if iq else None
+
+        need = 128 * (Kp + 1)
+        pad = need - rc.shape[1]
+        rcp = jnp.pad(rc, ((0, 0), (0, pad))) if pad > 0 else \
+            rc[:, :need]
+        r2 = jnp.concatenate(
+            [rcp[:, :128 * Kp].reshape(B, Kp, 128),
+             rcp[:, 64:64 + 128 * Kp].reshape(B, Kp, 128)], axis=1)
+        padB = (-B) % 8
+        if padB:
+            r2 = jnp.pad(r2, ((0, padB), (0, 0), (0, 0)))
+            rem = jnp.pad(rem, (0, padB))
+            ftot = jnp.pad(ftot, (0, padB))
+            qrow = jnp.pad(qrow, (0, padB))
+            rres = jnp.pad(rres, (0, padB))
+            n = jnp.pad(n, (0, padB))
+        usum = gram_usum_band_impl(band_i, band_q, r2, rem, ftot,
+                                   qrow, rres, n.astype(jnp.float32),
+                                   interpret=interpret)
+        if padB:
+            usum = usum[:B]
+        D = self._split_D(jnp.bfloat16)
+        z = jnp.einsum("bjl,jlt->bt", usum, D,
+                       preferred_element_type=jnp.float32)
+        return z, ok
+
     def _replica_rows(self, consts, q_idx):
         """(C, L) quantized-phase indices -> (C*L, next) replica rows.
 
@@ -636,7 +697,21 @@ class FastTracker:
             rc = self._replica_rows(consts, geo["q_idx"])    # (C*L, next)
             C, L = geo["q_idx"].shape    # local C under shard_map
             B = C * L
-            if self.corr in ("diag", "diag2", "fused", "fused-interpret"):
+            bandok = jnp.bool_(True)
+            if self.corr in ("band", "band-interpret"):
+                ftot = jnp.broadcast_to(
+                    (fconsts["fbt"] + st["dcps"])[:, None], (C, L))
+                z2, bandok = self._taps_band(
+                    block2, geo["wstart"].reshape(B), rc,
+                    geo["rem_k"].reshape(B), ftot.reshape(B),
+                    geo["n_k"].reshape(B),
+                    interpret=self.corr == "band-interpret")
+                z2 = (z2 * jnp.float32(self.trk._tbl_scale)
+                      ).reshape(C, L, -1)
+                cur_q = z2[..., 0::2]
+                cur_i = z2[..., 1::2]
+            elif self.corr in ("diag", "diag2", "fused",
+                               "fused-interpret"):
                 fused = self.corr.startswith("fused")
                 winr = self._fetch_windows(
                     block2, geo["wstart"].reshape(B), rowform=True,
@@ -709,7 +784,11 @@ class FastTracker:
                 merged = {k: jnp.where(act, new[k], stc[k]) if k in new
                           else stc[k] for k in stc}
                 return merged, out
-            return jax.vmap(one)(consts, fconsts, st, geo, cur_i, cur_q)
+            merged, out = jax.vmap(one)(consts, fconsts, st, geo,
+                                        cur_i, cur_q)
+            out["bandok"] = jnp.broadcast_to(
+                bandok.astype(jnp.int32), (C,))
+            return merged, out
         return jax.lax.scan(step, carry, None, length=nsuper)
 
     def _pack(self, o):
@@ -725,7 +804,8 @@ class FastTracker:
              col(o["carr_err"]), col(o["code_err"]), col(o["carr_nco"]),
              col(o["code_nco"])], axis=-1)
         packi = jnp.concatenate(
-            [o["loc"], col(o["k_c"]), col(o["n_u"])], axis=-1)
+            [o["loc"], col(o["k_c"]), col(o["n_u"]),
+             col(o["bandok"])], axis=-1)
         return packf, packi
 
     @functools.partial(jax.jit, static_argnums=(0, 5))
@@ -748,6 +828,7 @@ class FastTracker:
         sl["loc"] = packi[..., :L]
         sl["k_c"] = packi[..., L]
         sl["n_u"] = packi[..., L + 1]
+        sl["bandok"] = packi[..., L + 2]
         return sl
 
     def run_block(self, state: TrackState, block, nsteps: int
@@ -789,6 +870,12 @@ class FastTracker:
     def run_block_collect(self, handle) -> TrackOutputs:
         """Fetch + unpack a run_block_start handle into TrackOutputs."""
         o = self._unpack(*jax.device_get(handle))
+        if not np.all(o["bandok"]):
+            raise RuntimeError(
+                "band-resident correlator: window starts exceeded the "
+                "band (channel spread beyond one code period) — the "
+                "block's outputs are invalid; use corr='diag'/'fused' "
+                "for this channel geometry")
         S = o["k_c"].shape[0]
         L, taps = self.L, self.cfg.ntaps
         C = o["k_c"].shape[1]
