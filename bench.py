@@ -22,14 +22,25 @@ capture rate).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Robustness contract (round-1 lesson: BENCH_r01 was rc=124/parsed=null —
-the TPU relay hung during init and nothing was ever printed):
+the TPU relay hung during init and nothing was ever printed; round-3
+lesson: BENCH_r03 recorded a 0.026x CPU fallback because the TPU child
+DIED once during the capture window and the parent settled for CPU
+instead of retrying — an identical retry 30 s later ran at 15x):
 
 * the parent process NEVER imports jax; all measurement happens in child
   processes it can kill;
-* a CPU measurement child (forced cpu backend) runs first/concurrently as
-  the guaranteed-to-land fallback number;
 * the TPU child streams progressively better results line-by-line; the
   parent keeps the best seen so far;
+* a TPU child that exits WITHOUT a result, or stalls (no result line
+  within BENCH_TPU_STALL_S, default 240 s — the relay flake is
+  transient), is KILLED and RELAUNCHED for as long as walltime budget
+  remains;
+* the CPU fallback child is held until the first TPU attempt fails (so
+  the two never contend for the cores during TPU compile) or until only
+  BENCH_CPU_NEED_S of budget remains, whichever is first;
+* the emitted JSON always records `device`, `tpu_attempts`, and — when
+  the number is NOT from the TPU — the last TPU exit code and a stderr
+  tail, so a fallback is diagnosable from the artifact alone;
 * a hard walltime budget (BENCH_BUDGET_S, default 780 s) plus SIGTERM/
   SIGINT handlers guarantee the JSON line is printed before the driver's
   timeout, whatever the relay does.
@@ -58,6 +69,16 @@ def measure(platform: str) -> int:
     """
     t_start = time.time()
     budget = float(os.environ.get("BENCH_CHILD_BUDGET_S", "1e9"))
+
+    # test hook: let the parent's retry logic be exercised without a
+    # flaky relay — fail the first N TPU attempts deterministically
+    fail_n = int(os.environ.get("BENCH_TEST_FAIL_ATTEMPTS", "0"))
+    attempt = int(os.environ.get("BENCH_ATTEMPT", "1"))
+    if platform == "tpu" and attempt <= fail_n:
+        print(f"# tpu: synthetic failure (attempt {attempt} <= "
+              f"BENCH_TEST_FAIL_ATTEMPTS={fail_n})", file=sys.stderr,
+              flush=True)
+        return 7
 
     import numpy as np
     import jax
@@ -196,22 +217,29 @@ def measure(platform: str) -> int:
 # ===================================================================== #
 
 class _Child:
-    def __init__(self, platform: str, child_budget: float):
+    def __init__(self, platform: str, child_budget: float, attempt: int = 1):
         env = dict(os.environ)
         env["BENCH_CHILD_BUDGET_S"] = str(child_budget)
+        env["BENCH_ATTEMPT"] = str(attempt)
         # keep /root/.axon_site importable (TPU plugin bootstraps from
         # sitecustomize there); never REPLACE the path
         self.platform = platform
+        self.attempt = attempt
+        self.t_launch = time.time()
         self.proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
              "--measure", platform],
-            stdout=subprocess.PIPE, stderr=sys.stderr, env=env)
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
         os.set_blocking(self.proc.stdout.fileno(), False)
+        os.set_blocking(self.proc.stderr.fileno(), False)
         self.result = None
+        self.t_result = None
         self._buf = ""
+        self._errbuf = ""
+        self.stderr_tail = []              # last lines, for the artifact
 
     def poll(self):
-        """Drain stdout; keep the last parseable JSON line."""
+        """Drain stdout/stderr; keep the last parseable JSON line."""
         try:
             chunk = self.proc.stdout.read()
         except (OSError, ValueError):
@@ -224,8 +252,21 @@ class _Child:
                 if ln.startswith("{"):
                     try:
                         self.result = json.loads(ln)
+                        self.t_result = time.time()
                     except json.JSONDecodeError:
                         pass
+        try:
+            echunk = self.proc.stderr.read()
+        except (OSError, ValueError):
+            echunk = None
+        if echunk:
+            text = echunk.decode("utf-8", "replace")
+            sys.stderr.write(text)
+            sys.stderr.flush()
+            self._errbuf += text
+            *elines, self._errbuf = self._errbuf.split("\n")
+            self.stderr_tail.extend(ln for ln in elines if ln.strip())
+            self.stderr_tail = self.stderr_tail[-8:]
         return self.proc.poll()
 
     def kill(self):
@@ -241,7 +282,20 @@ def main() -> int:
     t0 = time.time()
     budget = float(os.environ.get("BENCH_BUDGET_S", "780"))
     reserve = 15.0
+    # kill+relaunch a TPU attempt that has produced no result in this long
+    # (observed relay flake: one run hung >240 s; the retry landed in 30 s)
+    stall_s = float(os.environ.get("BENCH_TPU_STALL_S", "240"))
+    # start the CPU fallback child no later than this much budget left
+    cpu_need_s = float(os.environ.get("BENCH_CPU_NEED_S", "300"))
+    retry_min_s = 45.0       # minimum budget left to be worth a relaunch
+    max_attempts = int(os.environ.get("BENCH_TPU_MAX_ATTEMPTS", "8"))
     emitted = []
+    tpu = cpu = None
+    tpu_attempts = [0]
+    tpu_failures = []        # {"attempt", "rc", "stderr_tail"} per failure
+
+    def remaining():
+        return budget - reserve - (time.time() - t0)
 
     def best_result():
         tpu_r = tpu.result if tpu is not None else None
@@ -253,39 +307,87 @@ def main() -> int:
             emitted.append(True)
             r = best_result() or {
                 "metric": METRIC, "value": 0.0, "unit": "Msamples/s",
-                "vs_baseline": 0.0, "error": "no measurement landed",
+                "vs_baseline": 0.0, "device": "none",
+                "error": "no measurement landed",
             }
-            r = {k: r[k] for k in
-                 ("metric", "value", "unit", "vs_baseline")} | (
+            out = {k: r[k] for k in
+                   ("metric", "value", "unit", "vs_baseline")} | (
                 {"device": r["device"]} if "device" in r else {})
-            print(json.dumps(r), flush=True)
+            out["tpu_attempts"] = tpu_attempts[0]
+            if out.get("device") != "tpu":
+                # a fallback number must be diagnosable from the artifact
+                last = tpu_failures[-1] if tpu_failures else None
+                out["tpu_rc"] = last["rc"] if last else None
+                out["tpu_stderr_tail"] = last["stderr_tail"] if last else []
+            print(json.dumps(out), flush=True)
         for c in (tpu, cpu):
             if c is not None:
                 c.kill()
         os._exit(0)
 
-    tpu = cpu = None
     signal.signal(signal.SIGTERM, emit_and_exit)
     signal.signal(signal.SIGINT, emit_and_exit)
 
-    child_budget = budget - reserve
-    cpu = _Child("cpu", min(child_budget, 420.0))
-    tpu = _Child("tpu", child_budget)
+    def launch_tpu():
+        tpu_attempts[0] += 1
+        return _Child("tpu", max(remaining(), 10.0),
+                      attempt=tpu_attempts[0])
 
-    while time.time() - t0 < budget - reserve:
-        rc_tpu = tpu.poll()
-        cpu.poll()
-        if rc_tpu is not None:
-            if tpu.result is not None:
-                break                       # TPU number landed: done
-            # TPU child died without a result: fall back to CPU
-            if cpu.poll() is not None:
-                break
+    def record_failure(child, rc):
+        tpu_failures.append({
+            "attempt": child.attempt, "rc": rc,
+            "stderr_tail": list(child.stderr_tail),
+        })
+        print(f"# parent: tpu attempt {child.attempt} failed "
+              f"(rc={rc}, result=None)", file=sys.stderr, flush=True)
+
+    tpu = launch_tpu()
+
+    while remaining() > 0:
+        rc_tpu = tpu.poll() if tpu is not None else None
+        if cpu is not None:
+            cpu.poll()
+
+        if tpu is not None:
+            if rc_tpu is not None:
+                if tpu.result is not None:
+                    break                   # TPU number landed: done
+                # died without a result: diagnose, retry while budget lasts
+                record_failure(tpu, rc_tpu)
+                if cpu is None:
+                    cpu = _Child("cpu", min(remaining(), 420.0))
+                tpu = (launch_tpu()
+                       if remaining() > retry_min_s
+                       and tpu_attempts[0] < max_attempts else None)
+            elif (tpu.result is None
+                  and time.time() - tpu.t_launch > stall_s):
+                # stalled: no result line in stall_s — kill and relaunch
+                tpu.kill()
+                record_failure(tpu, "stalled")
+                if cpu is None:
+                    cpu = _Child("cpu", min(remaining(), 420.0))
+                tpu = (launch_tpu()
+                       if remaining() > retry_min_s
+                       and tpu_attempts[0] < max_attempts else None)
+            elif (tpu.result is not None and tpu.t_result is not None
+                  and time.time() - tpu.t_result > 120.0):
+                break   # has a number but stopped improving: good enough
+
+        # hold the CPU fallback until the first TPU failure, or until the
+        # fallback would no longer fit in the budget
+        if cpu is None and remaining() < cpu_need_s and (
+                tpu is None or tpu.result is None):
+            cpu = _Child("cpu", min(remaining(), 420.0))
+
+        if tpu is None and cpu is not None and cpu.poll() is not None:
+            break                           # no TPU left, CPU finished
         time.sleep(0.5)
 
     # final drain before reporting
-    tpu.poll()
-    cpu.poll()
+    if tpu is not None:
+        tpu.poll()
+    if cpu is not None:
+        cpu.poll()
     emit_and_exit()
     return 0
 
