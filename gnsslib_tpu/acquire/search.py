@@ -297,7 +297,11 @@ class Acquirer:
             y = jax.vmap(lambda d: self._to_complex(d) * rot)(data_rounds)
             # one contiguous slice covering every lag window (tail wrapped
             # circularly: sample 2*nsamp+t is code-periodic-equivalent to
-            # sample t — a nav-bit sign flip cannot change |z|), then ONE
+            # sample t up to carrier phase — the wrapped tail is mixed
+            # with the phase computed for index t, not 2*nsamp+t, and a
+            # nav-bit flip between the reused and replaced samples flips
+            # only the tail, so |z| on wrapped windows is perturbed by
+            # ~2*rad/nsamp in amplitude — negligible for argmax), then ONE
             # (rounds, nb) x (nb, nlag) matmul against the static
             # shifted-code matrix: lag o's column is code delayed o
             # samples.  Replaces a (rounds, nlag, nsamp) advanced-index

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import PI
+from ..constants import PI, DType
 from ..ops.nco import NSPAN, frac
 from .loop import Tracker, TrackOutputs
 from .state import TrackState, loop_interval
@@ -92,6 +92,12 @@ class FastTracker:
         # fused Pallas kernel), "pallas" (fused VMEM kernel), or "xla"
         # (einsum reference formulation).  use_pallas=True/False keeps
         # its historical meaning; None auto-selects diag on TPU.
+        # band rows for the band-resident kernel (needed by the corr
+        # setter's VMEM estimate, so computed before corr is assigned):
+        # every window of one super-step (L periods x C channels) plus one
+        # code period of channel spread and the window extent
+        self._band_rows = (-(-((self.L + 1) * self.n_nom + self.nwin
+                               + 512) // 128) + 8)
         if use_pallas is None:
             on_accel = jax.default_backend() not in ("cpu",)
             self.use_pallas = False
@@ -103,11 +109,6 @@ class FastTracker:
         # rows per window for the take-based fetch: nwin rounded up to
         # whole 128-rows, +1 halo row for the residual-rotation pair
         self._fetch_nr = (self.nwin + 127) // 128 + 1
-        # band rows for the band-resident kernel: every window of one
-        # super-step (L periods x C channels) plus one code period of
-        # channel spread and the window extent
-        self._band_rows = (-(-((self.L + 1) * self.n_nom + self.nwin
-                               + 512) // 128) + 8)
         # diag-correlator geometry: replica row-pair lane width covering
         # every tap lag d = smax+o in [0, 2*smax] for any lane j < 128
         self._diag_wl = 128 * ((128 + 2 * self.smax + 127) // 128)
@@ -120,6 +121,43 @@ class FastTracker:
         # the 8-bit front-end sample alphabet every real capture path
         # produces (io/formats.py LUT outputs) even that cast is exact.
         self._fetch_bf16 = True
+
+    # ------------------------------------------------------------------ #
+    # Backends built on the 64-lane split-Gram layout (_split_D): every
+    # tap lag d = smax+o must fit a 128-lane tile from a 64-lane base,
+    # i.e. 2*smax <= 64.  The plain "diag" backend checks this itself and
+    # falls back to the wide-Gram path; these use _split_D unconditionally
+    # and would silently drop taps with (j%64)+d >= 128 if allowed.
+    _SPLIT_ONLY = ("diag2", "fused", "fused-interpret",
+                   "band", "band-interpret")
+
+    @property
+    def corr(self) -> str:
+        return self._corr
+
+    @corr.setter
+    def corr(self, value: str) -> None:
+        if value in self._SPLIT_ONLY and 2 * self.smax > 64:
+            raise ValueError(
+                f"corr={value!r} requires 2*smax <= 64 (got smax="
+                f"{self.smax}, i.e. corrn*corrd > 32); use corr='diag' "
+                "(wide-Gram fallback) for this correlator geometry")
+        if value in ("band", "band-interpret"):
+            # the band kernel replicates the band into 8 row-phase planes
+            # of (8, NB8, 8, 128) bf16 — ~8x the raw band bytes per I/Q
+            # component; refuse configs that cannot fit VMEM (~16 MB)
+            # instead of an opaque Mosaic compile failure
+            ncomp = 2 if self.trk.dtype == DType.IQ else 1
+            nb8 = self._band_rows // 8 + 2
+            plane_bytes = ncomp * 8 * nb8 * 8 * 128 * 2
+            budget = 12 * 2 ** 20
+            if plane_bytes > budget:
+                mb = plane_bytes / 2 ** 20
+                raise ValueError(
+                    f"corr={value!r}: band planes need {mb:.1f} MB of "
+                    f"VMEM (> {budget / 2 ** 20:.0f} MB budget) for "
+                    f"band_rows={self._band_rows}; use corr='diag'")
+        self._corr = value
 
     # ------------------------------------------------------------------ #
     def init_state(self) -> TrackState:
@@ -479,10 +517,16 @@ class FastTracker:
                    interpret=False):
         """All-tap correlation via the band-resident Pallas kernel
         (ops/pallas_gram.py gram_usum_band_impl): ONE contiguous slice of
-        the block covering every window of the super-step is DMA'd to
-        VMEM per step (~0.4 MB bf16), and each window fetches its rows
-        from it in-kernel (dynamic row slice + one-hot MXU rotation) —
-        the 21 MB/step per-window HBM gather disappears.  Returns
+        the block covering every window of the super-step rides VMEM for
+        the whole step, and each window fetches its rows from it
+        in-kernel (dynamic row slice + one-hot MXU rotation) — the
+        21 MB/step per-window HBM gather disappears.  VMEM footprint:
+        the kernel replicates the band into 8 row-phase planes, so the
+        resident block is ~8x the raw band bytes per I/Q component
+        (~3.3 MB for the 32-ch L1CA geometry, x2 for IQ signals); the
+        ``corr`` setter estimates this against a 12 MB budget and
+        rejects geometries that cannot fit instead of letting Mosaic
+        fail opaquely.  Returns
         (taps, ok) where ``ok`` is False if any window start fell
         outside the band (channel spread beyond one code period — the
         caller must treat the step's outputs as invalid)."""

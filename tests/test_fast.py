@@ -110,13 +110,16 @@ def test_fast_fused_and_diag2_match_diag():
     through the full FastTracker: same windows, same split-Gram layout,
     same extractor — only summation order and one bf16 rounding site
     differ.  Uses the non-128-multiple row count (K=33 -> padded to 64)
-    so the padding paths are exercised."""
+    so the padding paths are exercised.  band-interpret runs the
+    band-resident kernel (in-kernel window fetch from the VMEM-resident
+    row-phase planes) through the Pallas interpreter — the backend with
+    the most novel indexing gets the same equivalence gate."""
     trk, st, block = _locked_state()
     fd = FastTracker(trk, use_pallas=False)
     fd.corr = "diag"
     _, out_d = fd.run_block(st, block, 600)
     scale = np.max(np.abs(out_d.ip))
-    for corr in ("fused-interpret", "diag2"):
+    for corr in ("fused-interpret", "diag2", "band-interpret"):
         fv = FastTracker(trk, use_pallas=False)
         fv.corr = corr
         _, out_v = fv.run_block(st, block, 600)
@@ -129,6 +132,42 @@ def test_fast_fused_and_diag2_match_diag():
             c = np.corrcoef(a[:, 0], b[:, 0])[0, 1]
             assert c > 0.999, (corr, c)
         np.testing.assert_allclose(out_d.dcarr, out_v.dcarr, atol=0.5)
+
+
+def test_fast_band_out_of_band_raises():
+    """A channel geometry whose window starts exceed the VMEM-resident
+    band (channel spread beyond one code period) must be flagged in
+    telemetry and raised at collect, not silently produce wrong taps."""
+    trk, st, block = _locked_state()
+    trk2 = Tracker(CFG, [7, 8], [CodeType.L1CA] * 2, F_SF, F_IF,
+                   DType.REAL)
+    st2 = trk2.init_state()
+    # band span is ~(L+1)*n_nom + nwin + 512 samples; separate the two
+    # channels by far more than that so the second start falls outside
+    spread = (trk2.n_nom * 14)
+    st2 = trk2.start_channels(st2, [0, 1], [800, 800 + spread],
+                              [-900.0, -900.0])
+    for c in range(2):
+        st2 = trk2.set_bit_sync(st2, c, 0)
+    fb = FastTracker(trk2, use_pallas=False)
+    fb.corr = "band-interpret"
+    with pytest.raises(RuntimeError, match="band"):
+        fb.run_block(st2, block, 10)
+
+
+def test_corr_setter_rejects_wide_split_geometry():
+    """Backends built on the 64-lane split-Gram layout (diag2/fused/band)
+    silently drop tap terms when 2*smax > 64; the corr setter must refuse
+    such geometries (ADVICE r3: fast.py _split_D used unconditionally)."""
+    wide = TrackConfig(corrn=12, corrd=3, corrp=6)      # smax=36
+    trkw = Tracker(wide, [7], [CodeType.L1CA], F_SF, F_IF, DType.REAL)
+    fw = FastTracker(trkw, use_pallas=False)
+    assert 2 * fw.smax > 64
+    fw.corr = "diag"                                    # wide-Gram: fine
+    for corr in ("diag2", "fused", "fused-interpret", "band",
+                 "band-interpret"):
+        with pytest.raises(ValueError, match="2\\*smax"):
+            fw.corr = corr
 
 
 def test_fast_diag_matches_xla_iq():

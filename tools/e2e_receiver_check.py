@@ -3,6 +3,10 @@
 Drives the public gnsslib_tpu API exactly as a receiver would: block-wise
 streaming, acquisition handoff, device tracking scan, host nav framer.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run from any cwd
 import sys
 import time
 

@@ -109,27 +109,34 @@ def main() -> int:
     if args.pid is not None:
         return worker(args.pid, args.outdir)
     make_capture()
+    auto_outdir = args.outdir is None
     outdir = args.outdir or tempfile.mkdtemp(prefix="gnsslib_mh_")
-    procs = [subprocess.Popen(
-        [sys.executable, __file__, "--pid", str(p), "--outdir", outdir],
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-        for p in range(NPROC)]
-    rc = max(p.wait() for p in procs)
-    if rc:
-        return rc
-    res = [json.load(open(os.path.join(outdir, f"proc{p}.json")))
-           for p in range(NPROC)]
-    assert res[0]["locked"] == res[1]["locked"] == PRNS, res
-    assert res[0]["decoded"] == res[1]["decoded"] == PRNS, res
-    assert res[0]["events"] == res[1]["events"], "event mismatch"
-    assert res[0]["epochs"] > 0
-    obs = [p for p in os.listdir(outdir) if p.endswith(".obs")]
-    assert obs, "process 0 wrote no RINEX"
-    print(f"[demo] {NPROC} processes x 2 local devices, C={len(PRNS)} "
-          f"channels sharded over the global mesh; all {PRNS} locked+"
-          f"decoded, {res[0]['epochs']} epochs, RINEX {obs[0]} "
-          f"-> MULTIHOST RECEIVER OK", flush=True)
-    return 0
+    try:
+        procs = [subprocess.Popen(
+            [sys.executable, __file__, "--pid", str(p),
+             "--outdir", outdir],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+            for p in range(NPROC)]
+        rc = max(p.wait() for p in procs)
+        if rc:
+            return rc
+        res = [json.load(open(os.path.join(outdir, f"proc{p}.json")))
+               for p in range(NPROC)]
+        assert res[0]["locked"] == res[1]["locked"] == PRNS, res
+        assert res[0]["decoded"] == res[1]["decoded"] == PRNS, res
+        assert res[0]["events"] == res[1]["events"], "event mismatch"
+        assert res[0]["epochs"] > 0
+        obs = [p for p in os.listdir(outdir) if p.endswith(".obs")]
+        assert obs, "process 0 wrote no RINEX"
+        print(f"[demo] {NPROC} processes x 2 local devices, C={len(PRNS)} "
+              f"channels sharded over the global mesh; all {PRNS} locked+"
+              f"decoded, {res[0]['epochs']} epochs, RINEX {obs[0]} "
+              f"-> MULTIHOST RECEIVER OK", flush=True)
+        return 0
+    finally:
+        if auto_outdir:
+            import shutil
+            shutil.rmtree(outdir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -18,6 +18,10 @@ reset_nco_on_sync hardening removes), so it emits half the epochs.
 Usage:  python tools/parity_vs_reference.py [--keep]
 """
 from __future__ import annotations
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run from any cwd
 
 import argparse
 import os
@@ -221,11 +225,15 @@ def synthesize_fullenv(seconds: float = 20.0) -> str:
     # private temp + atomic publish: two concurrent builders must not
     # interleave writes into one shared temp file
     fd, tmp = tempfile.mkstemp(dir="/tmp", prefix="gnsslib_fullenv_")
-    with os.fdopen(fd, "wb") as f, \
-            ProcessPoolExecutor(max_workers=3) as ex:
-        for t0, q in ex.map(_fullenv_chunk, jobs):
-            q.tofile(f)
-    os.replace(tmp, FULLENV_CACHE)
+    try:
+        with os.fdopen(fd, "wb") as f, \
+                ProcessPoolExecutor(max_workers=3) as ex:
+            for t0, q in ex.map(_fullenv_chunk, jobs):
+                q.tofile(f)
+        os.replace(tmp, FULLENV_CACHE)
+    finally:
+        if os.path.exists(tmp):         # failed build: no stray temp
+            os.unlink(tmp)
     return FULLENV_CACHE
 
 

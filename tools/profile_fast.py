@@ -8,6 +8,10 @@ Times, per super-step (L=10 code periods x 32 ch @ 16.368 Msps):
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_fast.py
 """
 from __future__ import annotations
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run from any cwd
 
 import functools
 import time

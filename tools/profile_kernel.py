@@ -5,6 +5,10 @@ tap-shift reductions, and memory. Run with
 PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_kernel.py
 """
 from __future__ import annotations
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run from any cwd
 
 import functools
 import time

@@ -5,6 +5,10 @@ Monkeypatches stage boundaries to attribute time: frontend read, block
 host->device transfer, acquisition, track dispatch, telemetry collect,
 host nav/obs, epoch emit.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run from any cwd
 import sys
 import time
 

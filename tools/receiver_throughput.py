@@ -9,6 +9,10 @@ is the end-user streaming number.  Compares pipeline=True/False.
 
 The capture is cached under /tmp (3-4 min to synthesize once).
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run from any cwd
 import json
 import os
 import sys

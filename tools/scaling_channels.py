@@ -5,6 +5,10 @@ serving can batch several independent RF streams (or a denser channel
 set) into one FastTracker.  Measures ms/super-step and aggregate
 channel-samples/s for growing C at the 16.368 Msps envelope.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run from any cwd
 import sys
 import time
 
