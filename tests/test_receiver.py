@@ -24,7 +24,9 @@ F_IF = 1.023e6
 NSAMP = 4092
 TOW0 = 352800.0
 DELAYS = {3: 300, 21: 1300}          # PRN -> signal delay (samples)
-SECONDS = 27.0
+SECONDS = 31.0   # >= 30 s: the LNAV full-ephemeris nav-writer gate
+                 # (3 subframes + update flag, reference sdrsync.c:137-156)
+                 # is reached ~24.5 s into this fixture's bit stream
 
 
 @pytest.fixture(scope="module")
@@ -153,11 +155,18 @@ def test_pseudorange_difference(ran_receiver):
 
 
 def test_rinex_nav_record(ran_receiver):
+    """The nav-writer gate (eph.update && cnt >= cntth=3 subframes,
+    reference sdrsync.c:137-156) fires in the PIPELINED steady state —
+    the CLI default is pipeline=True with pipelined acquisition — on a
+    >= 30 s stream, and RINEX nav records land for both satellites.
+    (A 20 s stream legitimately writes none: the third subframe of this
+    bit stream completes ~24.5 s in — see tools/receiver_throughput.py.)"""
     _, nav_text = ran_receiver
     lines = nav_text.splitlines()
     import re
     recs = [ln for ln in lines if re.match(r"G\d\d \d{4} ", ln)]
-    assert recs, "no ephemeris record written"
+    assert recs, "no ephemeris record written (ephs_written == 0)"
+    assert {ln[:3] for ln in recs} == {"G03", "G21"}
     # iode=77 in field 1 of line 2 of a record
     i = lines.index(recs[0])
     iode = float(lines[i + 1][4:23].replace("E", "e"))

@@ -138,6 +138,17 @@ def _run(pipeline: bool, nsteps: int, depth: int, rinexdir: str) -> dict:
 
 def main():
     synthesize()
+    if SECONDS < 30.0:
+        # the RINEX-nav writer gates on a FULL ephemeris (update flag +
+        # 3 decoded subframes, reference sdrsync.c:137-156); with this
+        # capture's 6 s bit-stream preamble the third subframe completes
+        # ~24.5 s in, so short scenarios legitimately report ephs=0.
+        # The pipelined nav-write path itself is asserted by
+        # tests/test_receiver.py::test_rinex_nav_record on a 31 s stream.
+        print(f"note: SECONDS={SECONDS:.0f} < 30 — the full-ephemeris "
+              "nav-writer gate (3 subframes, ~24.5 s) is not reached, "
+              "so ephs=0 is expected; set GNSSLIB_RXBENCH_SECONDS=35 "
+              "to see nav records written")
     for pipeline, nsteps, depth in ((True, 400, 2), (True, 2000, 2),
                                     (True, 2000, 3), (False, 2000, 2)):
         s = run(pipeline, nsteps, depth)
