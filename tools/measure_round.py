@@ -1,0 +1,184 @@
+"""Capture the round's THREE official numbers into MEASUREMENTS_rNN.json.
+
+Round 3's lesson: verified perf numbers that live only in prose (or in
+one flaky driver window) are erasable.  This tool measures, with the
+same retry discipline as bench.py (kill + relaunch a child that dies or
+stalls, record why), and commits the result to a machine-readable
+artifact in-tree:
+
+1. headline bench     — `python bench.py` (32-ch L1CA acq+track Msps;
+                        bench.py carries its own TPU-retry contract)
+2. acq secondary      — `tools/acq_throughput.py` (Doppler bins/s for
+                        the 32ch x 71bin x 10round grid, BASELINE.md)
+3. receiver median    — >= 3 independent sessions (separate processes =
+                        separate relay sessions) of the REAL
+                        Receiver.run_seconds loop at the production
+                        config (pipelined/400/d2), median steady-state
+
+Usage:  python tools/measure_round.py [--round N] [--out PATH]
+        [--sessions K] [--skip bench,acq,receiver]
+
+Each child must report device=tpu or it is retried; a final fallback
+result is recorded with its failure diagnostics rather than silently
+accepted.
+"""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # run from any cwd
+
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+F_SF_MSPS = 16.368
+
+
+def _run_child(cmd, timeout_s, want_tpu=True, retries=3, label=""):
+    """Run cmd, parse the LAST JSON line of stdout; retry on death,
+    stall, or a non-TPU device.  Returns (result|None, diagnostics)."""
+    diags = []
+    for attempt in range(1, retries + 1):
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                cmd, cwd=REPO, timeout=timeout_s,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+            out = proc.stdout.decode("utf-8", "replace")
+            err = proc.stderr.decode("utf-8", "replace")
+            rc = proc.returncode
+        except subprocess.TimeoutExpired as e:
+            out = (e.stdout or b"").decode("utf-8", "replace")
+            err = (e.stderr or b"").decode("utf-8", "replace")
+            rc = "timeout"
+        result = None
+        for ln in out.splitlines():
+            ln = ln.strip()
+            if ln.startswith("{"):
+                try:
+                    result = json.loads(ln)
+                except json.JSONDecodeError:
+                    pass
+        wall = round(time.time() - t0, 1)
+        if result is not None and (
+                not want_tpu or result.get("device") == "tpu"):
+            result["attempts"] = attempt
+            result["wall_s"] = wall
+            return result, diags
+        diags.append({
+            "attempt": attempt, "rc": rc, "wall_s": wall,
+            "device": result.get("device") if result else None,
+            "stderr_tail": [l for l in err.splitlines() if l.strip()][-5:],
+        })
+        print(f"# {label}: attempt {attempt} failed "
+              f"(rc={rc}, device={diags[-1]['device']})",
+              file=sys.stderr, flush=True)
+    return None, diags
+
+
+def _receiver_session() -> int:
+    """Child mode: one receiver throughput session at the production
+    config (pipelined/400/d2); prints ONE JSON line."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import receiver_throughput as rxt
+    rxt.synthesize()
+    import jax
+    s = rxt.run(True, 400, 2)
+    print(json.dumps({
+        "metric": "receiver_steady_msps",
+        "value": round(s.get("msps_steady") or s["msps"], 2),
+        "unit": "Msamples/s",
+        "msps_lifecycle": round(s["msps"], 2),
+        "locked": len(s["locked"]), "decoded": len(s["decoded"]),
+        "epochs": s["epochs"], "ephs": s["ephs"],
+        "label": s["label"],
+        "device": jax.devices()[0].platform,
+    }), flush=True)
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--sessions", type=int, default=3)
+    ap.add_argument("--skip", default="",
+                    help="comma list of bench,acq,receiver to skip")
+    ap.add_argument("--receiver-session", action="store_true",
+                    help=argparse.SUPPRESS)
+    args = ap.parse_args()
+    if args.receiver_session:
+        return _receiver_session()
+
+    rnd = args.round
+    if rnd is None:
+        done = [int(m.group(1)) for p in glob.glob(
+            os.path.join(REPO, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json", p))]
+        rnd = (max(done) + 1) if done else 1
+    out_path = args.out or os.path.join(REPO, f"MEASUREMENTS_r{rnd:02d}.json")
+    skip = set(s for s in args.skip.split(",") if s)
+    art = {"round": rnd, "unix_time": int(time.time())}
+
+    if "bench" not in skip:
+        print("== headline bench (bench.py, own retry contract)",
+              flush=True)
+        r, d = _run_child([sys.executable, os.path.join(REPO, "bench.py")],
+                          timeout_s=840, want_tpu=False, retries=2,
+                          label="bench")
+        art["bench"] = r
+        if d:
+            art["bench_failures"] = d
+
+    if "acq" not in skip:
+        print("== acquisition Doppler bins/s (acq_throughput.py)",
+              flush=True)
+        r, d = _run_child(
+            [sys.executable, os.path.join(REPO, "tools",
+                                          "acq_throughput.py")],
+            timeout_s=600, want_tpu=True, retries=3, label="acq")
+        art["acq"] = r
+        if d:
+            art["acq_failures"] = d
+
+    if "receiver" not in skip:
+        sessions = []
+        fails = []
+        for k in range(args.sessions):
+            print(f"== receiver session {k + 1}/{args.sessions} "
+                  "(pipelined/400/d2)", flush=True)
+            r, d = _run_child(
+                [sys.executable, os.path.abspath(__file__),
+                 "--receiver-session"],
+                timeout_s=2400 if k == 0 else 1500,   # first may synthesize
+                want_tpu=True, retries=2, label=f"receiver{k}")
+            if r is not None:
+                sessions.append(r)
+            fails.extend(d)
+        art["receiver_sessions"] = sessions
+        if fails:
+            art["receiver_failures"] = fails
+        if sessions:
+            vals = sorted(s["value"] for s in sessions)
+            med = vals[len(vals) // 2] if len(vals) % 2 else \
+                0.5 * (vals[len(vals) // 2 - 1] + vals[len(vals) // 2])
+            art["receiver_median_msps"] = round(med, 2)
+            art["receiver_median_x_realtime"] = round(med / F_SF_MSPS, 2)
+
+    with open(out_path, "w") as f:
+        json.dump(art, f, indent=1)
+        f.write("\n")
+    print(f"wrote {out_path}")
+    print(json.dumps({k: v for k, v in art.items()
+                      if not k.endswith("failures")}, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
