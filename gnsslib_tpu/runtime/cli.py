@@ -140,6 +140,13 @@ def main(argv=None) -> int:
                     help="live terminal dashboard (lock, C/N0, Doppler, "
                          "nav, epoch table; SPEC_MS refresh) instead of "
                          "the one-line progress counter")
+    ap.add_argument("--watch-html", metavar="PATH", default=None,
+                    help="graphical live view: rewrite a self-refreshing "
+                         "HTML page (channel table + spectrum, acq "
+                         "surface, correlator-shape SVGs) at the SPEC_MS "
+                         "cadence — open it in any browser (the gnuplot-"
+                         "window equivalent, src/sdrplot.c:336-394); "
+                         "implies --spec")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a JAX profiler trace of the run")
     ap.add_argument("--checkpoint", metavar="PATH", default=None,
@@ -151,6 +158,10 @@ def main(argv=None) -> int:
     cfg = load_ini(args.config)
     if args.spp:
         cfg.spp = True
+    if args.watch_html:
+        # the acq/correlator/spectrum views only populate with the
+        # diagnostics monitor on
+        cfg.spec = True
     if not cfg.fends:
         print("error: config has no front end ([FEND] missing?)",
               file=sys.stderr)
@@ -279,8 +290,16 @@ def main(argv=None) -> int:
         # src/sdrplot.c:336-394 / sdrmain.c:258-299; see diag/watch.py)
         from ..diag.watch import Watch
         watch = Watch(rx)
+    htmlview = None
+    if args.watch_html:
+        from ..diag.htmlview import HtmlView
+        htmlview = HtmlView(rx, args.watch_html)
+        if not args.quiet:
+            print(f"live view: file://{os.path.abspath(args.watch_html)}")
 
     def progress(t):
+        if htmlview is not None:
+            htmlview.tick(t)
         if watch is not None:
             watch.tick(t)
         elif not args.quiet:
@@ -320,6 +339,8 @@ def main(argv=None) -> int:
                   f"tow={tow:.1f} lat={math.degrees(lat):.7f} "
                   f"lon={math.degrees(lon):.7f} h={h:.1f} m "
                   f"({nsat} sats)")
+    if htmlview is not None:
+        htmlview.close()               # final frame with the end state
     rx.close()
     return 0
 

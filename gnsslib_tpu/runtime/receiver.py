@@ -255,16 +255,24 @@ class Receiver:
         self.pipeline = pipeline
         self.pipeline_depth = max(1, int(pipeline_depth))
         self._pending = []            # FIFO of (handle, base, cnt0, locked0)
-        # pipelined acquisition: dispatch the search, read the decision one
-        # block later (overlapped with tracking compute) instead of a
+        # pipelined acquisition: dispatch the search, read the decision
+        # TWO blocks later (overlapped with tracking compute) instead of a
         # blocking device->host read that drains the pipeline every
-        # ACQSLEEP retry.  Costs one block of lock latency on success; a
-        # no-lock search (the steady-state retry tax for absent PRNs)
-        # costs nothing.  Defaults to the telemetry pipelining flag.
+        # ACQSLEEP retry.  Depth 2 matters: a search dispatched at block k
+        # executes behind the in-flight tracking block(s), so collecting
+        # it at block k+1 still waits out a whole tracking block of device
+        # time (measured 108 ms per search at 2000-step blocks, 31 ms at
+        # 400 — the round-3 "2000-step anomaly"); by block k+2 the search
+        # finished long ago and the collect reads already-copied bytes.
+        # Costs up to depth blocks of lock latency on success; a no-lock
+        # search (the steady-state retry tax for absent PRNs) costs
+        # nothing.  Defaults to the telemetry pipelining flag.
         self.pipeline_acq = (pipeline if pipeline_acq is None
                              else bool(pipeline_acq))
-        # in-flight pipelined acquisition: (handle, base, t_disp, pend_idx)
-        self._acq_inflight = None
+        self.acq_pipeline_depth = 2
+        # in-flight pipelined searches, oldest first:
+        # (handle, base, t_disp, pend_idx)
+        self._acq_pend: list = []
         # cooperative stop (the reference's keythread 'q' -> stopflag,
         # src/sdrmain.c:59-80): run loops exit at the next block boundary
         # and flush pipelined blocks, so writers close complete
@@ -418,16 +426,24 @@ class Receiver:
                 diag=self.spec_monitor is not None)
         return self._acq_backend(self.frontend.read(self.base, need))
 
-    def _try_acquire(self) -> None:
-        # collect a previous block's in-flight search first: its device
-        # compute (and the decision vectors' relay round trip) overlapped
-        # the tracking block(s) dispatched after it, instead of draining
-        # the pipeline the way a synchronous read would
-        if self._acq_inflight is not None:
-            handle, base_s, t_disp, pend_idx = self._acq_inflight
-            self._acq_inflight = None
+    def _collect_acq(self, all_pending: bool = False) -> None:
+        """Collect matured in-flight searches (dispatched at least
+        ``acq_pipeline_depth`` blocks ago — by then the search program
+        finished behind the tracking blocks and its decision vectors'
+        async copy landed, so the read costs one relay round trip, not a
+        tracking block of device time).  ``all_pending`` drains
+        everything (flush/checkpoint/EOF)."""
+        adv = self.nsteps * self.nsamp
+        while self._acq_pend and (
+                all_pending
+                or self.base - self._acq_pend[0][1]
+                >= self.acq_pipeline_depth * adv
+                or len(self._acq_pend) > self.acq_pipeline_depth):
+            handle, base_s, t_disp, pend_idx = self._acq_pend.pop(0)
             self._apply_acq(self.acq.search_dev_collect(handle),
                             base_s, t_disp, pend_idx)
+
+    def _try_acquire(self) -> None:
         t_stream = self.base / self.spec.f_sf
         pend = [ch for ch in self.channels if not ch.locked and
                 t_stream - ch.last_acq_attempt >= ACQSLEEP / 1000.0 - 1e-9]
@@ -443,17 +459,18 @@ class Receiver:
                 and self.block_len >= need
                 and getattr(self._acq_search, "__func__", None)
                 is Receiver._acq_dispatch):
-            # pipelined: dispatch now, decide one block later (the searched
-            # data is this block's — only the DECISION is deferred; a lock
-            # starts one block late, well inside the reference's own 2 s
-            # retry granularity).  Tests overriding _acq_search keep the
+            # pipelined: dispatch now, decide acq_pipeline_depth blocks
+            # later (the searched data is this block's — only the
+            # DECISION is deferred; a lock starts up to depth blocks
+            # late, comparable to the reference's own 2 s retry
+            # granularity).  Tests overriding _acq_search keep the
             # synchronous path.
-            self._acq_inflight = (
+            self._acq_pend.append((
                 self.acq.search_dev_start(
                     self.cache.get(self.base, self.block_len),
                     diag=self.spec_monitor is not None,
                     idx=[ch.idx for ch in pend]),
-                self.base, t_stream, [ch.idx for ch in pend])
+                self.base, t_stream, [ch.idx for ch in pend]))
             return
         self._apply_acq(self._acq_search(), self.base, t_stream,
                         [ch.idx for ch in pend])
@@ -519,6 +536,11 @@ class Receiver:
         # is pipeline_depth blocks stale and the extrapolated code phase
         # drifts out of pull-in range
         self.flush()
+        # the flush may have applied an in-flight search decision that
+        # locked some of these channels — they need no hot start
+        pend = [ch for ch in pend if not ch.locked]
+        if not pend:
+            return pend
         ref = next((c for c in self.channels if c.locked and c.nav.flagdec
                     and c.cfg.ctype == CodeType.L1CA
                     and c.hist.nrec > 0), None)
@@ -839,6 +861,7 @@ class Receiver:
         advance = self.nsteps * self.nsamp
         if self.spec_monitor is not None:
             self.spec_monitor.maybe_update(self.base)
+        self._collect_acq()
         self._try_acquire()
         if not any(ch.locked for ch in self.channels):
             self.base += advance
@@ -884,18 +907,14 @@ class Receiver:
     def flush(self) -> None:
         """Finalize the in-flight pipelined blocks (no-op when none).
 
-        An in-flight acquisition search is collected first: a search
-        dispatched on the last block before a checkpoint/EOF must not be
-        silently dropped — a checkpoint taken with a search in flight
+        In-flight acquisition searches are collected first: a search
+        dispatched on the last block(s) before a checkpoint/EOF must not
+        be silently dropped — a checkpoint taken with a search in flight
         would otherwise lose the pending lock and a resumed run would
         re-search ACQSLEEP later than an uninterrupted one (_apply_acq's
         delta math handles the base offset).  step_block's slow path
-        uses _flush_blocks instead, which leaves the search in flight."""
-        if self._acq_inflight is not None:
-            handle, base_s, t_disp, pend_idx = self._acq_inflight
-            self._acq_inflight = None
-            self._apply_acq(self.acq.search_dev_collect(handle),
-                            base_s, t_disp, pend_idx)
+        uses _flush_blocks instead, which leaves searches in flight."""
+        self._collect_acq(all_pending=True)
         self._flush_blocks()
 
     def _flush_blocks(self) -> None:

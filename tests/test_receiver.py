@@ -227,12 +227,13 @@ def test_pipelined_matches_sequential(if_file):
 
 
 def test_acq_pipeline_matches_sequential(if_file):
-    """Pipelined acquisition (dispatch the search, read the decision one
-    block later, overlapped with tracking): locks land exactly one block
-    late with the acquired code phase propagated to the new stream
-    position along the code-Doppler trajectory.  Same locks, same
-    decodes, and common-epoch pseudoranges within loop noise — a
-    translation slip of even one sample would shift P by c/f_sf = 73 m."""
+    """Pipelined acquisition (dispatch the search, read the decision
+    acq_pipeline_depth blocks later, overlapped with tracking): locks
+    land exactly depth blocks late with the acquired code phase
+    propagated to the new stream position along the code-Doppler
+    trajectory.  Same locks, same decodes, and common-epoch pseudoranges
+    within loop noise — a translation slip of even one sample would
+    shift P by c/f_sf = 73 m."""
     import jax
     jax.config.update("jax_platforms", "cpu")
     from gnsslib_tpu.io.frontend import FileFrontend, FrontendSpec
@@ -275,8 +276,10 @@ def test_acq_pipeline_matches_sequential(if_file):
     acq_a = sorted(e for e in rx_a.events if e[0] == "acq")
     acq_s = sorted(e for e in rx_s.events if e[0] == "acq")
     assert acq_a == acq_s
-    # channels started one block later: exactly nsteps fewer periods
-    assert all(int(a) == int(s) - rx_a.nsteps for a, s in
+    # channels started acq_pipeline_depth blocks later: exactly
+    # depth*nsteps fewer periods
+    late = rx_a.acq_pipeline_depth * rx_a.nsteps
+    assert all(int(a) == int(s) - late for a, s in
                zip(rx_a._cnt_host, rx_s._cnt_host))
     # common-epoch observables agree: the propagated code phase handed
     # tracking the same signal alignment (sub-sample)

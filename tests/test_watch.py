@@ -95,3 +95,49 @@ def test_dashboard_never_touches_device_state(tmp_path, monkeypatch):
     monkeypatch.setattr(jax, "device_get", boom)
     out = render_text(rx, 4.0)
     assert "PRN" in out
+
+
+def test_html_live_view(tmp_path):
+    """--watch-html equivalent: the HtmlView rewrites a self-refreshing
+    page with the channel table and the acq-surface / correlator /
+    spectrum SVGs (diag/htmlview.py — the graphical stand-in for the
+    reference's gnuplot windows, src/sdrplot.c:336-394)."""
+    from gnsslib_tpu.diag.htmlview import HtmlView, render_html
+
+    eph = sim.example_eph(prn=5, week=2200, toe_tow=TOW0)
+    frames = sim.lnav_bit_stream(eph, TOW0 + 6.0, nframes=2)
+    pad = np.concatenate([np.tile([1, -1], 149), [1, 1]]).astype(np.int8)
+    ch = sim.SimChannel(prn=5, doppler=900.0, code_phase=-80.0,
+                        carr_phase=0.2,
+                        nav_bits=np.concatenate([pad, frames]))
+    noise = sim.noise_std_for_cn0(1.0, 47.0, F_SF, DType.REAL)
+    x = sim.synthesize([ch], F_SF, F_IF, DType.REAL, int(6.0 * F_SF),
+                       noise_std=noise, seed=5)
+    path = tmp_path / "html.bin"
+    sim.quantize_int8(x, 16.0).tofile(path)
+    spec = FrontendSpec(fend=FrontendType.FILE, f_cf=1.57542e9, f_sf=F_SF,
+                        f_if=F_IF, dtype=DType.REAL)
+    cfg = ReceiverConfig(
+        channels=[ChannelConfig(prn=5), ChannelConfig(prn=13)],
+        fends=[spec], files=[str(path)],
+        track=TrackConfig(corrn=4, corrd=2, corrp=2),
+        outms=400, rinex=False, spec=True)   # spec: views populate
+    rx = Receiver(cfg, FileFrontend(str(path), spec))
+    out = tmp_path / "live.html"
+    view = HtmlView(rx, str(out), interval_s=0.2)
+    rx.run_seconds(progress=view.tick)
+    rx.flush()
+    view.close()
+
+    assert out.exists()
+    assert not (tmp_path / "live.html.tmp").exists()   # atomic publish
+    page = out.read_text()
+    assert 'http-equiv="refresh"' in page
+    assert page.count("<svg") >= 3          # spectrum + histogram + views
+    assert "locked 1/2" in page
+    assert "acquisition @" in page          # pltacq equivalent
+    assert "taps @" in page                 # plttrk equivalent
+    assert "IF spectrum" in page
+    # final render is internally consistent with the live state helpers
+    final = render_html(rx, 6.0, 0.2)
+    assert "L1CA" in final and "track" in final or "nav" in final
