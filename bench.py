@@ -102,13 +102,22 @@ def measure(platform: str) -> int:
     # amortized at the same per-stream-second cadence) so the fallback
     # number always lands
     nsteps = 2000 if platform == "tpu" else 200
+    passes, blocks = (12, 6) if platform == "tpu" else (2, 2)
     prns = list(range(1, 33))
 
     cfg = TrackConfig(corrn=6, corrd=3, corrp=6)      # iffile.ini geometry
     trk = Tracker(cfg, prns, [CodeType.L1CA] * C, f_sf, f_if, DType.REAL)
     fast = FastTracker(trk)
     nsamp = trk.n_nom
-    block_len = nsteps * nsamp + trk.nwin + 8 * nsteps + 2 * nsamp + 64
+    # one device block covers a WHOLE pass of consecutive run_block
+    # calls: the state's block offsets advance naturally through it
+    # (exactly the receiver's stream semantics) and each pass's
+    # start_channels reset rewinds to the block start — no per-block
+    # rebase dispatches in the timed loop, and no windows ever run off
+    # the block's end (the band-resident default correlator fail-louds
+    # on that; the clamping backends used to time it silently)
+    block_len = (blocks * nsteps * nsamp + trk.nwin + 8 * blocks * nsteps
+                 + 2 * nsamp + 64)
 
     # steady-state acquisition load: the reference demo sky has 12
     # visible satellites, so 20 of the 32 configured channels re-search
@@ -157,7 +166,8 @@ def measure(platform: str) -> int:
           file=sys.stderr, flush=True)
 
     # first timed pass: one sequential block + its search — emit
-    # immediately so a result exists as early as possible
+    # immediately so a result exists as early as possible (the warmup
+    # block advanced the state to the second block of the long buffer)
     t0 = time.time()
     ah = acq.search_dev_start(block, idx=pending)
     st, out = fast.run_block(st, block, nsteps)
@@ -171,7 +181,6 @@ def measure(platform: str) -> int:
     # (Receiver.step_block pipelines acquisition the same way).  Multiple
     # passes, best pass emitted after each (the relay has multi-hundred-
     # ms session stragglers that say nothing about the sustainable rate).
-    passes, blocks = (12, 6) if platform == "tpu" else (2, 2)
     # CPU blocks are 0.2 s of stream: searches happen every ACQSLEEP of
     # STREAM time, so amortize a measured search across 1/searches_per_
     # block blocks instead of running one per block

@@ -122,6 +122,11 @@ class ShardedFastTracker:
     def __init__(self, fast, mesh: Mesh, axis: str = "ch"):
         n = mesh.shape[axis]
         self.fast = fast
+        if fast.corr in ("band", "band-interpret"):
+            # the band-resident kernel's whole-block VMEM residency is
+            # tuned (and validated) for the unsharded layout; under
+            # shard_map keep the MXU Gram-diagonal path
+            fast.corr = "diag"
         self.trk = fast.trk
         self.L = fast.L
         self.mesh = mesh

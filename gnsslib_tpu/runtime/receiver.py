@@ -237,7 +237,8 @@ class Receiver:
                  nsteps_per_block: int = 400, hub: OutputHub | None = None,
                  standalone: bool = True, pipeline: bool = True,
                  mesh=None, channels=None, cache=None,
-                 pipeline_depth: int = 2, pipeline_acq: bool | None = None):
+                 pipeline_depth: int = 2, pipeline_acq: bool | None = None,
+                 acq_pipeline_depth: int | None = None):
         self.cfg = cfg
         self.frontend = frontend
         self.standalone = standalone
@@ -269,7 +270,7 @@ class Receiver:
         # nothing.  Defaults to the telemetry pipelining flag.
         self.pipeline_acq = (pipeline if pipeline_acq is None
                              else bool(pipeline_acq))
-        self.acq_pipeline_depth = 2
+        self._acq_pipeline_depth_arg = acq_pipeline_depth
         # in-flight pipelined searches, oldest first:
         # (handle, base, t_disp, pend_idx)
         self._acq_pend: list = []
@@ -322,6 +323,21 @@ class Receiver:
         self.nsteps = int(nsteps_per_block)
         self.block_len = (self.nsteps * self.nsamp + self.trk.nwin
                           + NSPAN * self.nsteps + 2 * self.nsamp + 64)
+        # search-collect depth (see the pipelined-acquisition comment
+        # above).  Auto: depth 2 when ACQSLEEP spans at least two blocks
+        # (the search dispatched at block k has fully drained behind
+        # track(k) by the k+2 collect, measured 164-213 vs 99-136 Msps
+        # at 400-step blocks); depth 1 when every block carries a search
+        # (2 s blocks: deferred collects stack two searches in the relay
+        # queue and measure NO faster, while costing 2 blocks of lock
+        # latency — interleaved A/B on v5e: d1 118-125 vs d2 77-122).
+        if self._acq_pipeline_depth_arg is None:
+            block_s = self.nsteps * self.nsamp / spec.f_sf
+            self.acq_pipeline_depth = 2 if block_s <= ACQSLEEP / 2000.0 \
+                else 1
+        else:
+            self.acq_pipeline_depth = max(
+                1, int(self._acq_pipeline_depth_arg))
         # device-resident sample segments: each sample crosses the
         # host->device boundary once, in its narrowest exact dtype; blocks
         # are cut on-device (io/devcache.py).  Channel groups sharing one

@@ -94,14 +94,30 @@ class FastTracker:
         # its historical meaning; None auto-selects diag on TPU.
         # band rows for the band-resident kernel (needed by the corr
         # setter's VMEM estimate, so computed before corr is assigned):
-        # every window of one super-step (L periods x C channels) plus one
-        # code period of channel spread and the window extent
-        self._band_rows = (-(-((self.L + 1) * self.n_nom + self.nwin
+        # every window of one super-step — L periods per channel, PLUS up
+        # to L-1 periods of per-channel bit-sync stagger (loop updates at
+        # cnt ≡ sync_offset (mod L), so channel grids shift by up to L-1
+        # periods against each other) — plus one code period of codei
+        # spread and the window extent
+        self._band_rows = (-(-((2 * self.L + 1) * self.n_nom + self.nwin
                                + 512) // 128) + 8)
         if use_pallas is None:
             on_accel = jax.default_backend() not in ("cpu",)
             self.use_pallas = False
-            self.corr = "diag" if on_accel else "xla"
+            if on_accel:
+                # band-resident Pallas kernel: the super-step's whole
+                # signal band rides VMEM and windows fetch in-kernel —
+                # interleaved duel on v5e (tools/profile_fast.py --duel):
+                # band 0.371 ms/super-step (440.6 Msps device-only) vs
+                # diag 0.525 / diag2 0.525 / fused 0.541.  Falls back to
+                # diag when the geometry breaks the split-Gram layout or
+                # the band cannot fit VMEM (corr setter validates).
+                try:
+                    self.corr = "band"
+                except ValueError:
+                    self.corr = "diag"
+            else:
+                self.corr = "xla"
         else:
             self.use_pallas = use_pallas
             self.corr = "pallas" if use_pallas else "xla"
@@ -513,7 +529,7 @@ class FastTracker:
         return jnp.einsum("bjl,jlt->bt", U, D,
                           preferred_element_type=jnp.float32)
 
-    def _taps_band(self, block2, wstart, rc, rem, ftot, n,
+    def _taps_band(self, block2, wstart, rc, rem, ftot, n, act,
                    interpret=False):
         """All-tap correlation via the band-resident Pallas kernel
         (ops/pallas_gram.py gram_usum_band_impl): ONE contiguous slice of
@@ -537,12 +553,20 @@ class FastTracker:
         iq = isinstance(block2, tuple)
         nrow = (block2[0] if iq else block2).shape[0]
         NBAND = self._band_rows
-        # band placement: align to 128 rows at the earliest window
-        p0 = jnp.clip(jnp.min(wstart) // 128, 0, nrow - NBAND)
+        # band placement: align to 128 rows at the earliest ACTIVE
+        # window.  Inactive channels carry stale block offsets (rebase
+        # keeps subtracting the advance from their loc, so a long-idle
+        # channel's wstart runs far negative); their windows are clamped
+        # into the band (outputs are discarded by the active mask in the
+        # filter) and excluded from both the placement min and the
+        # out-of-band flag.
+        wact = jnp.where(act, wstart, jnp.iinfo(jnp.int32).max)
+        p0 = jnp.clip(jnp.min(wact) // 128, 0, nrow - NBAND)
         qrow = wstart // 128 - p0
         rres = wstart - (wstart // 128) * 128
-        ok = jnp.all((qrow >= 0) & (qrow + Kp + 1 <= NBAND))
+        ok = jnp.all(~act | ((qrow >= 0) & (qrow + Kp + 1 <= NBAND)))
         qrow = jnp.clip(qrow, 0, NBAND - Kp - 1)
+        rres = jnp.clip(rres, 0, 127)
 
         def band_of(b2):
             rows = jax.lax.dynamic_slice(b2, (p0, 0), (NBAND, 128))
@@ -745,10 +769,11 @@ class FastTracker:
             if self.corr in ("band", "band-interpret"):
                 ftot = jnp.broadcast_to(
                     (fconsts["fbt"] + st["dcps"])[:, None], (C, L))
+                act = jnp.broadcast_to(st["active"][:, None], (C, L))
                 z2, bandok = self._taps_band(
                     block2, geo["wstart"].reshape(B), rc,
                     geo["rem_k"].reshape(B), ftot.reshape(B),
-                    geo["n_k"].reshape(B),
+                    geo["n_k"].reshape(B), act.reshape(B),
                     interpret=self.corr == "band-interpret")
                 z2 = (z2 * jnp.float32(self.trk._tbl_scale)
                       ).reshape(C, L, -1)

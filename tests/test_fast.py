@@ -155,6 +155,32 @@ def test_fast_band_out_of_band_raises():
         fb.run_block(st2, block, 10)
 
 
+def test_fast_band_tolerates_inactive_channels():
+    """An unlocked channel's block-relative loc runs far negative (rebase
+    subtracts the advance every block whether or not the channel is
+    active) — the band backend must clamp those windows and exclude them
+    from the out-of-band flag, matching diag on the active channel
+    (receivers track 12 of 32 configured PRNs all day)."""
+    trk, st, block = _locked_state()
+    trk2 = Tracker(CFG, [7, 8], [CodeType.L1CA] * 2, F_SF, F_IF,
+                   DType.REAL)
+    st2 = trk2.init_state()
+    # drive the (still-inactive) channels' loc far negative, then
+    # activate only channel 0 at a sane position
+    st2 = trk2.rebase(st2, 40 * trk2.n_nom)
+    st2 = trk2.start_channels(st2, [0], [800], [-900.0])
+    st2 = trk2.set_bit_sync(st2, 0, 0)
+    outs = {}
+    for corr in ("diag", "band-interpret"):
+        f = FastTracker(trk2, use_pallas=False)
+        f.corr = corr
+        _, outs[corr] = f.run_block(st2, block, 100)    # must not raise
+    a, b = outs["diag"], outs["band-interpret"]
+    np.testing.assert_array_equal(a.loc[:, 0], b.loc[:, 0])
+    scale = np.max(np.abs(a.ip[:, 0])) or 1.0
+    assert np.median(np.abs(a.ip[:, 0] - b.ip[:, 0])) < 1e-3 * scale
+
+
 def test_corr_setter_rejects_wide_split_geometry():
     """Backends built on the 64-lane split-Gram layout (diag2/fused/band)
     silently drop tap terms when 2*smax > 64; the corr setter must refuse

@@ -81,8 +81,50 @@ def main():
         print(f"{tag:8s} {dt/S*1e3:7.3f} ms/step  "
               f"({nsteps*nsamp/dt/1e6:6.1f} Msps)  compile {comp:.1f}s")
 
+    if "--duel" in _sys.argv:
+        # VERDICT r3 #5: session-to-session relay variance exceeded the
+        # backend deltas in one-shot timings.  Interleave the candidate
+        # backends round-robin in ONE session so every round samples the
+        # same relay weather, and report per-backend median + spread.
+        import collections
+        cands = ("diag", "diag2", "fused", "band")
+        fns = {}
+        for tag in cands:
+            fast.use_pallas = False
+            fast.corr = tag
+
+            @functools.partial(jax.jit, static_argnums=4)
+            def f(carry, block, consts, fconsts, nsuper, _fast=fast):
+                return _fast.run_steps(carry, block, consts, fconsts,
+                                       nsuper)
+            t0 = time.time()
+            jax.block_until_ready(f(carry, block, consts, fconsts, S))
+            print(f"# compile {tag}: {time.time() - t0:.1f}s",
+                  flush=True)
+            fns[tag] = f
+            # NOTE: fast.corr is read at TRACE time; each jit captured
+            # its backend because compile happened inside this loop
+        rounds = int(_sys.argv[_sys.argv.index("--duel") + 1]) \
+            if _sys.argv.index("--duel") + 1 < len(_sys.argv) \
+            and _sys.argv[_sys.argv.index("--duel") + 1].isdigit() else 10
+        T = collections.defaultdict(list)
+        for r in range(rounds):
+            for tag in cands:
+                T[tag].append(timeit(fns[tag], carry, block, consts,
+                                     fconsts, S, reps=4))
+        print(f"\nper-backend over {rounds} interleaved rounds "
+              "(ms/super-step):")
+        for tag in cands:
+            v = np.asarray(T[tag]) / S * 1e3
+            ms = float(np.median(v))
+            print(f"  {tag:6s} med {ms:6.3f}  min {v.min():6.3f}  "
+                  f"max {v.max():6.3f}  iqr {np.percentile(v, 75) - np.percentile(v, 25):6.3f}  "
+                  f"-> {nsteps * nsamp / (ms * 1e-3 * S) / 1e6:6.1f} Msps")
+        return 0
+
     run_variant("fused", False, corr="fused")
     run_variant("diag2", False, corr="diag2")
+    run_variant("band", False, corr="band")
     run_variant("full", True)
     run_variant("diag", False, corr="diag")
     run_variant("xla", False)

@@ -101,8 +101,10 @@ def _run(pipeline: bool, nsteps: int, depth: int, rinexdir: str) -> dict:
         track=TrackConfig(corrn=6, corrd=3, corrp=6),   # iffile.ini
         outms=400, rinex=True,                 # full output path ON
         rinexpath=rinexdir)
+    acq_depth = int(os.environ.get("GNSSLIB_ACQ_DEPTH", "2"))
     rx = Receiver(cfg, FileFrontend(CACHE, spec), pipeline=pipeline,
-                  nsteps_per_block=nsteps, pipeline_depth=depth)
+                  nsteps_per_block=nsteps, pipeline_depth=depth,
+                  acq_pipeline_depth=acq_depth)
     # compile warmup: first block(s) hit acq + slow-track compiles; run
     # one full pass, then measure a second pass on fresh receiver state
     t0 = time.time()
@@ -111,7 +113,8 @@ def _run(pipeline: bool, nsteps: int, depth: int, rinexdir: str) -> dict:
           f"locked={len(s['locked'])} decoded={len(s['decoded'])} "
           f"epochs={s['epochs']}")
     rx2 = Receiver(cfg, FileFrontend(CACHE, spec), pipeline=pipeline,
-                   nsteps_per_block=nsteps, pipeline_depth=depth)
+                   nsteps_per_block=nsteps, pipeline_depth=depth,
+                   acq_pipeline_depth=acq_depth)
     # manual loop to split cold-start (acq + per-period pull-in scan, a
     # fixed one-time cost) from steady-state streaming (the sustained
     # production rate)
@@ -149,6 +152,13 @@ def main():
               "nav-writer gate (3 subframes, ~24.5 s) is not reached, "
               "so ephs=0 is expected; set GNSSLIB_RXBENCH_SECONDS=35 "
               "to see nav records written")
+        print("note: at 2000-step blocks the depth-2 acquisition "
+              "pipeline adds ~4 s of lock latency, which can push "
+              "bit-sync past this capture's 6 s preamble and defer the "
+              "subframe-1 week anchor to the next 30 s frame — epochs "
+              "may then read 0 on this short capture.  The epochs "
+              "column is cold-start-sensitive; steady Msps is the "
+              "throughput metric.")
     for pipeline, nsteps, depth in ((True, 400, 2), (True, 2000, 2),
                                     (True, 2000, 3), (False, 2000, 2)):
         s = run(pipeline, nsteps, depth)
