@@ -75,6 +75,31 @@ def test_obs_parity_full_envelope():
     assert stats["l_spread"] < 0.05, stats
 
 
+@pytest.mark.slow
+@pytest.mark.skipif("PYTEST_XDIST_WORKER" in os.environ,
+                    reason="the reference receiver's thread timing gets "
+                           "flaky when xdist workers oversubscribe the "
+                           "cores — run serially")
+def test_obs_parity_full_envelope_glonass():
+    """Dual-system envelope head-to-head (the STEREO L1+G1 capture
+    class, test/testdata_download_link.txt:13-16, at the 16.368 Msps
+    post-processing rate): 26 GPS + 6 GLONASS FDMA channels in one
+    24 s stream, reference built with its CTYPE_G1 dispatch wired.
+    Beyond the per-observable RMS gates, the cross-system residual
+    split (p_isb) asserts both implementations anchor GPS and GLONASS
+    epochs to ONE receiver clock.  Retry once: the reference is
+    nondeterministic under thread oversubscription."""
+    stats = _run("fullenv_glo")
+    if not stats["ok"]:
+        stats = _run("fullenv_glo")
+    assert stats["ok"], stats
+    assert stats["n_common"] >= 250, stats
+    assert stats["n_glo"] >= 40, stats
+    assert stats["p_rms_clockfree"] < 5.0, stats
+    assert stats["d_rms"] < 0.3, stats
+    assert abs(stats["p_isb"]) < 5.0, stats
+
+
 def test_obs_parity_vs_reference_glonass():
     """GPS+GLONASS mixed capture against the reference with its missing
     CTYPE_G1 dispatch wired (patched copy, as upstream does).  The raw

@@ -52,7 +52,15 @@ def build_reference(workdir: str, patch_g1: bool = False,
     # -DRTLSDR enables the FILE-REPLAY twin FEND_FRTLSDR (the only front
     # end whose PPMERR/foffset path the reference wires, sdrinit.c:616);
     # the live USB symbols are satisfied by refshim/rtlsdrshim.c
-    inc = ["-I" + SHIM, "-I" + src, "-I" + rtk, "-I" + rtl, "-DRTLSDR"]
+    # -DENAGLO: reference fork bug #3 — neither bin/Makefile:17 nor the
+    # CI workflow defines ENAGLO, so its RTKLIB compiles with NSATGLO=0
+    # (rtklib.h:127-140), satno(SYS_GLO, slot) returns 0, and every
+    # GLONASS observation/ephemeris is silently dropped at the RINEX/
+    # RTCM output stage even when tracking and decode succeed.  Upstream
+    # RTKLIB application makefiles enable ENAGLO; wire it the same way
+    # (a build flag, not a source patch) so GLONASS parity is testable.
+    inc = ["-I" + SHIM, "-I" + src, "-I" + rtk, "-I" + rtl, "-DRTLSDR",
+           "-DENAGLO"]
     # FFTMTX serializes every FFT execute behind one mutex
     # (src/sdrcmn.c:136-148) because the reference plans inside
     # cpxfft — real FFTW only needs the lock around planning.  The shim
@@ -144,20 +152,35 @@ def build_reference(workdir: str, patch_g1: bool = False,
 
 
 def synthesize_glo(workdir: str, seconds: float = 40.0) -> str:
-    """GPS PRN5 + GLONASS fcn+1/slot 13 mixed capture (staged config 4)."""
+    """GPS PRN5 + GLONASS fcn+1/slot 13 mixed capture (staged config 4).
+
+    Timing layout: receivers bit-sync several seconds into a cold
+    capture (the reference's staggered thread start + ACQSLEEP retry
+    puts its GLONASS channel ~6 s in), so a GLONASS stream that opens
+    at string 1 loses the opening strings and the full geph (strings
+    1-5) only completes in the NEXT 30 s frame — past short captures.
+    The stream therefore starts mid-frame, at string 9, so strings 1-5
+    of the next frame land at t=14-24 s, comfortably after both
+    receivers' bit sync.  GLONASS frames must start on 30 s boundaries
+    of GLONASS (UTC+3h) time — the tk field has 30 s resolution —
+    which in GPST is tow = 18 mod 30 (18 leap seconds).  With the
+    capture starting at tow 352804: the sliced frame started 16 s
+    earlier at 352788 = 18 (mod 30), and the GPS subframe grid starts
+    at 352812 (pad 8 s, multiple of 6).  Both systems' nav times stay
+    physically consistent with ONE stream clock."""
     from gnsslib_tpu import sim
     from gnsslib_tpu.constants import (DType, CodeType, FREQ1_GLO,
                                        DFRQ1_GLO)
     from gnsslib_tpu.gtime import gpst2time
-    F_SF, F_IF, TOWREF = 4.092e6, 1.023e6, 352818.0
-    eph = sim.example_eph(prn=5, week=2200, toe_tow=TOWREF)
-    frames = sim.lnav_bit_stream(eph, TOWREF + 6.0, nframes=7)
-    pad = np.concatenate([np.tile([1, -1], 149), [1, 1]]).astype(np.int8)
+    F_SF, F_IF, TOWREF = 4.092e6, 1.023e6, 352804.0
+    eph = sim.example_eph(prn=5, week=2200, toe_tow=TOWREF + 8.0)
+    frames = sim.lnav_bit_stream(eph, TOWREF + 8.0, nframes=7)
+    pad = np.concatenate([np.tile([1, -1], 199), [1, 1]]).astype(np.int8)
     gps = sim.SimChannel(prn=5, doppler=600.0,
                          code_phase=-400 * 1.023e6 / F_SF, carr_phase=0.2,
                          nav_bits=np.concatenate([pad, frames]))
-    glo_bits = sim.g1_symbol_stream(gpst2time(2200, TOWREF), nframes=3,
-                                    iode=44, slot=13)
+    glo_bits = sim.g1_symbol_stream(gpst2time(2200, TOWREF - 16.0),
+                                    nframes=3, iode=44, slot=13)[1600:]
     glo = sim.SimChannel(prn=1, ctype=CodeType.G1, doppler=-1400.0,
                          code_phase=-900 * 0.511e6 / F_SF, carr_phase=0.7,
                          nav_bits=glo_bits, nav_ms=10.0,
@@ -175,52 +198,84 @@ def synthesize_glo(workdir: str, seconds: float = 40.0) -> str:
 
 
 FULLENV_CACHE = "/tmp/gnsslib_parity_fullenv_16m.bin"
+FULLENVGLO_CACHE = "/tmp/gnsslib_parity_fullenvglo_16m.bin"
+# fullenv_glo sky: 26 GPS PRNs + 6 GLONASS FDMA channels (the STEREO
+# L1+G1 capture class, test/testdata_download_link.txt:13-16, at the
+# post-processing envelope).  fcn is capped at +6 so the G1 carrier
+# (IF 4.092 MHz + fcn*0.5625 MHz) stays under the 8.184 MHz
+# real-sampling Nyquist of the 16.368 Msps envelope.
+FULLENVGLO_NGPS = 26
+FULLENVGLO_FCNS = (1, 2, 3, 4, 5, 6)
 
 
-def _fullenv_chans():
+def _fullenv_chans(glo: bool = False):
     from gnsslib_tpu import sim
-    TOW0 = 352800.0
+    from gnsslib_tpu.constants import CodeType, DFRQ1_GLO, FREQ1_GLO
+    from gnsslib_tpu.gtime import gpst2time
     chans = []
-    for prn in range(1, 33):
+    ngps = FULLENVGLO_NGPS if glo else 32
+    # mixed-system timing layout (see synthesize_glo): stream starts at
+    # tow 352804 so the mid-frame GLONASS slice stays on the 30 s UTC
+    # frame grid while the GPS subframe grid starts at 352812 (pad 8 s)
+    TOW0 = 352804.0 if glo else 352800.0
+    pad_pairs = 199 if glo else 149
+    gps_t0 = TOW0 + (8.0 if glo else 6.0)
+    for prn in range(1, ngps + 1):
         eph = sim.example_eph(prn=prn, week=2200, toe_tow=TOW0)
-        frames = sim.lnav_bit_stream(eph, TOW0 + 6.0, nframes=4)
-        pad = np.concatenate([np.tile([1, -1], 149), [1, 1]]).astype(np.int8)
+        frames = sim.lnav_bit_stream(eph, gps_t0, nframes=4)
+        pad = np.concatenate([np.tile([1, -1], pad_pairs),
+                              [1, 1]]).astype(np.int8)
         chans.append(sim.SimChannel(
             prn=prn, doppler=250.0 * (prn % 13) - 1500.0,
             code_phase=97.0 * prn, carr_phase=0.1 * prn,
             nav_bits=np.concatenate([pad, frames])))
+    if glo:
+        for i, fcn in enumerate(FULLENVGLO_FCNS):
+            bits = sim.g1_symbol_stream(gpst2time(2200, TOW0 - 16.0),
+                                        nframes=2, iode=40 + i,
+                                        slot=11 + i)[1600:]
+            chans.append(sim.SimChannel(
+                prn=fcn, ctype=CodeType.G1,
+                doppler=420.0 * i - 1100.0,
+                code_phase=61.0 * (i + 1), carr_phase=0.13 * i,
+                nav_bits=bits, nav_ms=10.0,
+                f_cf=FREQ1_GLO + DFRQ1_GLO * fcn,
+                foffset=DFRQ1_GLO * fcn))
     return chans
 
 
 def _fullenv_chunk(args):
-    t0, count, noise, scale = args
+    t0, count, noise, scale, glo = args
     from gnsslib_tpu import sim
     from gnsslib_tpu.constants import DType
-    x = sim.synthesize(_fullenv_chans(), 16.368e6, 4.092e6, DType.REAL,
+    x = sim.synthesize(_fullenv_chans(glo), 16.368e6, 4.092e6, DType.REAL,
                        count, noise_std=noise, seed=5000 + t0, t0=t0)
     return t0, sim.quantize_int8(x, scale)
 
 
-def synthesize_fullenv(seconds: float = 20.0) -> str:
+def synthesize_fullenv(seconds: float = 20.0, glo: bool = False) -> str:
     """The reference's REAL post-processing envelope
     (frontend/iffile.ini:6-8 + bin/gnss-sdrcli.ini NCH=32): 16.368 Msps
-    real-sampled IF at 4.092 MHz, int8, all 32 PRNs present with live
-    LNAV streams — the many-satellite epoch-alignment case neither
-    implementation sees in the small scenarios.  Cached under /tmp
-    (~8 min to synthesize once; 327 MB)."""
+    real-sampled IF at 4.092 MHz, int8, all 32 channels present with
+    live nav streams — the many-satellite epoch-alignment case neither
+    implementation sees in the small scenarios.  ``glo=True`` swaps 6
+    GPS channels for GLONASS FDMA signals (and extends the capture so
+    the slower 5-string geph decode contributes observables).  Cached
+    under /tmp (~8-11 min to synthesize once; 327-393 MB)."""
     from concurrent.futures import ProcessPoolExecutor
     from gnsslib_tpu import sim
     from gnsslib_tpu.constants import DType
-    if os.path.exists(FULLENV_CACHE) and \
-            os.path.getsize(FULLENV_CACHE) == int(seconds * 16.368e6):
-        return FULLENV_CACHE
+    cache = FULLENVGLO_CACHE if glo else FULLENV_CACHE
+    if os.path.exists(cache) and \
+            os.path.getsize(cache) == int(seconds * 16.368e6):
+        return cache
     f_sf = 16.368e6
     noise = sim.noise_std_for_cn0(1.0, 46.0, f_sf, DType.REAL)
     # int8 scale clear of clipping for noise + the 32-signal composite
     scale = 110.0 / (3.0 * np.sqrt(noise ** 2 + 32.0 / 2.0))
     n = int(seconds * f_sf)
     step = int(f_sf)
-    jobs = [(t0, min(step, n - t0), noise, scale)
+    jobs = [(t0, min(step, n - t0), noise, scale, glo)
             for t0 in range(0, n, step)]
     # private temp + atomic publish: two concurrent builders must not
     # interleave writes into one shared temp file
@@ -230,11 +285,11 @@ def synthesize_fullenv(seconds: float = 20.0) -> str:
                 ProcessPoolExecutor(max_workers=3) as ex:
             for t0, q in ex.map(_fullenv_chunk, jobs):
                 q.tofile(f)
-        os.replace(tmp, FULLENV_CACHE)
+        os.replace(tmp, cache)
     finally:
         if os.path.exists(tmp):         # failed build: no stray temp
             os.unlink(tmp)
-    return FULLENV_CACHE
+    return cache
 
 
 def synthesize(workdir: str, seconds: float = 32.0, cn0: float = 47.0,
@@ -293,7 +348,7 @@ def write_configs(workdir: str, ifpath: str, ppm: float = 0.0,
                   rtl: bool = False):
     fend = os.path.join(workdir, "fend.ini")
     scen = getattr(write_configs, "scenario", "gps")
-    if scen == "fullenv":
+    if scen.startswith("fullenv"):
         # the reference's own iffile.ini envelope (frontend/iffile.ini:
         # 6-8 SF/IF/DTYPE, :29-48 correlator + loop bandwidths)
         fe_sec = f"""[FEND]
@@ -377,6 +432,16 @@ FLLB2    =50.0
         chdef = (",".join(str(p) for p in range(1, 33)),
                  ",".join(["1"] * 32), ",".join(["1"] * 32))
         ftdef = ",".join(["1"] * 32)
+    elif scen == "fullenv_glo":
+        # 26 GPS + 6 GLONASS; the reference reads the PRN field as the
+        # FDMA frequency number for SYS=4 (sdrinit.c:613-615)
+        ngps, fcns = FULLENVGLO_NGPS, FULLENVGLO_FCNS
+        nch = ngps + len(fcns)
+        chdef = (",".join([str(p) for p in range(1, ngps + 1)]
+                          + [str(f) for f in fcns]),
+                 ",".join(["1"] * ngps + ["4"] * len(fcns)),
+                 ",".join(["1"] * ngps + ["20"] * len(fcns)))
+        ftdef = ",".join(["1"] * nch)
     else:
         nch = 2
         chdef = (("5,1", "1,4", "1,20") if scen == "glo"
@@ -451,6 +516,14 @@ SCENARIOS = {
     # bin/gnss-sdrcli.ini NCH=32) — exercises many-channel epoch
     # alignment both implementations otherwise only see at 2-3 sats
     "fullenv": dict(knobs={}, p_rms=5.0, d_rms=0.3, n_common=300),
+    # mixed-system envelope (STEREO L1+G1 capture class): 26 GPS + 6
+    # GLONASS channels in one 16.368 Msps stream; 30 s and a string-9
+    # stream start (strings 1-5 at t=14-24, after both receivers' bit
+    # sync) so the 5-string geph decode leaves GLONASS observables in
+    # the epoch stream.  Adds the cross-system gate
+    # p_isb (below): GPS and GLONASS pseudorange residuals must share
+    # one receiver clock.
+    "fullenv_glo": dict(knobs={}, p_rms=5.0, d_rms=0.3, n_common=250),
 }
 
 
@@ -459,11 +532,13 @@ def run(keep: bool = False, scenario: str = "gps") -> dict:
     spec = SCENARIOS[scenario]
     try:
         exe = build_reference(
-            workdir, patch_g1=(scenario == "glo"),
+            workdir, patch_g1=(scenario in ("glo", "fullenv_glo")),
             patch_frtlsdr=spec["knobs"].get("rtl", False),
-            fullenv=(scenario == "fullenv"))
+            fullenv=scenario.startswith("fullenv"))
         ifpath = (synthesize_glo(workdir) if scenario == "glo"
                   else synthesize_fullenv() if scenario == "fullenv"
+                  else synthesize_fullenv(seconds=30.0, glo=True)
+                  if scenario == "fullenv_glo"
                   else synthesize(workdir, **spec["knobs"]))
         write_configs.scenario = scenario
         write_configs(workdir, ifpath,
@@ -481,7 +556,9 @@ def run(keep: bool = False, scenario: str = "gps") -> dict:
                    + os.environ.get("PYTHONPATH", ""))
         subprocess.run([sys.executable, "-m", "gnsslib_tpu",
                         os.path.join(workdir, "cli_mine.ini"), "--quiet"],
-                       cwd=workdir, check=True, env=env, timeout=1200)
+                       cwd=workdir, check=True, env=env,
+                       timeout=2400 if scenario.startswith("fullenv")
+                       else 1200)
 
         ref_dir = os.path.join(workdir, "out_ref")
         my_dir = os.path.join(workdir, "out_mine")
@@ -552,6 +629,18 @@ def run(keep: bool = False, scenario: str = "gps") -> dict:
             d_rms=float(np.sqrt((dDi ** 2).mean())) if len(dDi) else
             float("nan"),
             l_spread=float(dL.std()) if len(dL) else float("nan"))
+        # cross-system alignment: both receivers form one clock, so the
+        # GPS and GLONASS pseudorange residuals must agree up to the
+        # common-mode offset — a per-system split would mean the two
+        # implementations anchor the systems' epochs differently
+        inl_keys = [k for k, m in zip(finite, inl) if m]
+        dP_by_sys = {s: np.array([mine[k][0] - ref[k][0]
+                                  for k in inl_keys if k[1][0] == s])
+                     for s in {k[1][0] for k in inl_keys}}
+        stats["n_glo"] = int(len(dP_by_sys.get("R", ())))
+        if "G" in dP_by_sys and "R" in dP_by_sys and stats["n_glo"]:
+            stats["p_isb"] = float(np.median(dP_by_sys["R"])
+                                   - np.median(dP_by_sys["G"]))
         print(f"common obs: {stats['n_common']} "
               f"(ref {stats['n_ref']}, mine {stats['n_mine']}; "
               f"{nan_pairs} blank-field pairs, "
@@ -561,6 +650,9 @@ def run(keep: bool = False, scenario: str = "gps") -> dict:
               f"mean {stats['p_mean']:+.3f} m, max {stats['p_max']:.3f} m")
         print(f"doppler: rms {stats['d_rms']:.3f} Hz; "
               f"carrier spread {stats['l_spread']:.4f} cycles")
+        if "p_isb" in stats:
+            print(f"cross-system: {stats['n_glo']} GLONASS obs, "
+                  f"GPS-GLONASS residual split {stats['p_isb']:+.3f} m")
         ok = (stats["p_rms_clockfree"] < spec["p_rms"]
               and stats["d_rms"] < spec["d_rms"]
               and int(inl.sum()) >= spec["n_common"]
@@ -568,6 +660,12 @@ def run(keep: bool = False, scenario: str = "gps") -> dict:
               and d_outlier_frac <= 0.15
               and (nan_pairs + len(finite)) > 0
               and nan_pairs <= 0.3 * len(common))
+        if scenario in ("glo", "fullenv_glo"):
+            # mixed capture must actually land GLONASS observables, and
+            # the two systems' residuals must share the receiver clock
+            ok = ok and stats["n_glo"] >= (40 if scenario ==
+                                           "fullenv_glo" else 5)
+            ok = ok and abs(stats.get("p_isb", 1e9)) < spec["p_rms"]
         print(f"PARITY[{scenario}] " + ("PASS" if ok else "FAIL"))
         stats["ok"] = ok
         return stats
