@@ -122,18 +122,34 @@ def _run(pipeline: bool, nsteps: int, depth: int, rinexdir: str) -> dict:
     t_steady = base_steady = None
     end = rx2.end_sample()
     nblocks = 0
+    block_walls = []
+    t_prev = time.time()
     while rx2.can_step(end):
         rx2.step_block()
         nblocks += 1
+        now = time.time()
+        if t_steady is not None:
+            block_walls.append(now - t_prev)
+        t_prev = now
         if t_steady is None and all(
                 ch.synced for ch in rx2.channels if ch.locked) and \
                 any(ch.locked for ch in rx2.channels):
             t_steady, base_steady = time.time(), rx2.base
+            t_prev = t_steady
     rx2.flush()
     s = rx2._summary(t0, nblocks)
     if t_steady is not None and rx2.base > base_steady:
         s["msps_steady"] = ((rx2.base - base_steady) / 1e6
                             / max(time.time() - t_steady, 1e-9))
+    if block_walls:
+        # sustainable (p50) rate: the relay interjects multi-second
+        # stragglers that say nothing about the pipeline's sustainable
+        # throughput (a production PCIe attach has none); the median
+        # block wall is the straggler-robust estimator, the windowed
+        # average above the straggler-inclusive one
+        med = float(np.median(block_walls))
+        s["msps_steady_p50"] = nsteps * rx2.nsamp / 1e6 / max(med, 1e-9)
+        s["n_steady_blocks"] = len(block_walls)
     s["label"] = (("pipelined" if pipeline else "sequential")
                   + f"/{nsteps}/d{depth}")
     return s
