@@ -32,7 +32,13 @@ def main():
                       DType.REAL)
         fast = FastTracker(trk)
         nsamp = trk.n_nom
-        block_len = nsteps * nsamp + trk.nwin + 8 * nsteps + 2 * nsamp + 64
+        # the block must cover every consecutive run_block call (1
+        # warmup + 2 per timing iteration x 3): the state advances
+        # through it with no rebase, and the band-resident default
+        # correlator fail-louds on windows past the block's end
+        nblocks_total = 7
+        block_len = (nblocks_total * nsteps * nsamp + trk.nwin
+                     + 8 * nblocks_total * nsteps + 2 * nsamp + 64)
         block = jnp.asarray(rng.standard_normal(block_len)
                             .astype(np.float32))
         st = trk.init_state()
