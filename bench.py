@@ -142,6 +142,19 @@ def measure(platform: str) -> int:
         st = trk.set_bit_sync(st, c, c % 10)
 
     best_wall = [None]
+    # report the backend JAX ACTUALLY initialized, not the requested
+    # platform: a silent CPU fallback inside the "tpu" child (plugin
+    # registration failure, relay init falling back to host) must not
+    # masquerade as a TPU number — that is exactly the artifact
+    # corruption the retry contract exists to prevent
+    actual_device = jax.devices()[0].platform
+    if actual_device == "axon":
+        actual_device = "tpu"       # the relay plugin's platform name
+    if platform == "tpu" and actual_device != "tpu":
+        print(f"# tpu child initialized backend {actual_device!r}, "
+              "not TPU — aborting so the parent retries",
+              file=sys.stderr, flush=True)
+        return 9
 
     def emit(wall_s: float) -> None:
         if best_wall[0] is not None and wall_s >= best_wall[0]:
@@ -153,7 +166,7 @@ def measure(platform: str) -> int:
             "value": round(msps, 3),
             "unit": "Msamples/s",
             "vs_baseline": round(msps / F_SF_MSPS, 3),
-            "device": platform,
+            "device": actual_device,
         }), flush=True)
 
     # warmup / compile (steady-state fast path: L periods per device
@@ -276,7 +289,14 @@ class _Child:
             *elines, self._errbuf = self._errbuf.split("\n")
             self.stderr_tail.extend(ln for ln in elines if ln.strip())
             self.stderr_tail = self.stderr_tail[-8:]
-        return self.proc.poll()
+        rc = self.proc.poll()
+        if rc is not None and self._errbuf.strip():
+            # flush an unterminated final line (aborts often die
+            # mid-line); it is frequently the actual crash reason
+            self.stderr_tail.append(self._errbuf.strip())
+            self.stderr_tail = self.stderr_tail[-8:]
+            self._errbuf = ""
+        return rc
 
     def kill(self):
         if self.proc.poll() is None:

@@ -50,16 +50,15 @@ def _heat_color(v: float) -> str:
     return "#%02x%02x%02x" % tuple(int(round(255 * c)) for c in rgb)
 
 
-def _polyline(xs, ys, w=340, h=120, pad=6, stroke=_ACCENT,
-              labels=("", "")) -> str:
-    """Minimal single-series line plot as an SVG string."""
+def _scale_xy(xs, ys, w, h, pad):
+    """Shared axis scaling: filter non-finite pairs, map to pixel
+    coordinates.  Returns (X, Y, x0, x1, y0, y1) or None if < 2 points."""
     xs = np.asarray(xs, np.float64)
     ys = np.asarray(ys, np.float64)
     ok = np.isfinite(xs) & np.isfinite(ys)
     xs, ys = xs[ok], ys[ok]
     if xs.size < 2:
-        return (f'<svg width="{w}" height="{h}"><text x="8" y="20" '
-                f'fill="{_MUTED}" font-size="11">no data</text></svg>')
+        return None
     x0, x1 = float(xs.min()), float(xs.max())
     y0, y1 = float(ys.min()), float(ys.max())
     if x1 == x0:
@@ -68,14 +67,29 @@ def _polyline(xs, ys, w=340, h=120, pad=6, stroke=_ACCENT,
         y1 = y0 + 1.0
     X = pad + (xs - x0) / (x1 - x0) * (w - 2 * pad)
     Y = (h - 14) - (ys - y0) / (y1 - y0) * (h - 14 - pad)
+    return X, Y, x0, x1, y0, y1
+
+
+def _polyline(xs, ys, w=340, h=120, pad=6, stroke=_ACCENT,
+              labels=("", ""), dots=False) -> str:
+    """Minimal single-series line plot as an SVG string; ``dots`` adds
+    per-point markers (same scaling, same finite filtering)."""
+    scaled = _scale_xy(xs, ys, w, h, pad)
+    if scaled is None:
+        return (f'<svg width="{w}" height="{h}"><text x="8" y="20" '
+                f'fill="{_MUTED}" font-size="11">no data</text></svg>')
+    X, Y, x0, x1, y0, y1 = scaled
     pts = " ".join(f"{x:.1f},{y:.1f}" for x, y in zip(X, Y))
+    marks = "".join(f'<circle cx="{x:.1f}" cy="{y:.1f}" r="3" '
+                    f'fill="{stroke}"/>' for x, y in zip(X, Y)) \
+        if dots else ""
     xl, yl = labels
     return (
         f'<svg width="{w}" height="{h}" role="img">'
         f'<line x1="{pad}" y1="{h - 14}" x2="{w - pad}" y2="{h - 14}" '
         f'stroke="{_GRID}"/>'
         f'<polyline points="{pts}" fill="none" stroke="{stroke}" '
-        f'stroke-width="2" stroke-linejoin="round"/>'
+        f'stroke-width="2" stroke-linejoin="round"/>{marks}'
         f'<text x="{pad}" y="{h - 2}" fill="{_MUTED}" font-size="10">'
         f'{html.escape(f"{xl}  [{x0:.4g} … {x1:.4g}]")}</text>'
         f'<text x="{w - pad}" y="{h - 2}" fill="{_MUTED}" font-size="10" '
@@ -85,19 +99,8 @@ def _polyline(xs, ys, w=340, h=120, pad=6, stroke=_ACCENT,
 
 def _dotline(xs, ys, w=300, h=110, pad=8) -> str:
     """Correlator tap shape: markers joined by a thin line (one series)."""
-    base = _polyline(xs, ys, w, h, pad,
-                     labels=("tap offset (samples)", "|corr|"))
-    xs = np.asarray(xs, np.float64)
-    ys = np.asarray(ys, np.float64)
-    x0, x1 = float(xs.min()), float(xs.max() if xs.max() > xs.min()
-                                   else xs.min() + 1)
-    y0, y1 = float(ys.min()), float(ys.max() if ys.max() > ys.min()
-                                    else ys.min() + 1)
-    X = pad + (xs - x0) / (x1 - x0) * (w - 2 * pad)
-    Y = (h - 14) - (ys - y0) / (y1 - y0) * (h - 14 - pad)
-    dots = "".join(f'<circle cx="{x:.1f}" cy="{y:.1f}" r="3" '
-                   f'fill="{_ACCENT}"/>' for x, y in zip(X, Y))
-    return base.replace("</svg>", dots + "</svg>")
+    return _polyline(xs, ys, w, h, pad,
+                     labels=("tap offset (samples)", "|corr|"), dots=True)
 
 
 def _heatmap(P, dopp_hz, w=340, h=150, max_cells=(36, 72),
@@ -127,7 +130,9 @@ def _heatmap(P, dopp_hz, w=340, h=150, max_cells=(36, 72),
                 f'fill="{_heat_color((float(row[j]) - lo) / rng)}"/>')
     marker = ""
     if codei is not None and N:
-        xm = 4 + (codei / (scale * N * rn / Np)) * (Np * cw)
+        # surface spans N cells x `scale` full-rate samples each, drawn
+        # across Np*cw pixels; codei is full-rate
+        xm = 4 + (codei / (scale * N)) * (Np * cw)
         xm = min(max(xm, 4.0), w - 4.0)
         marker = (f'<line x1="{xm:.1f}" y1="0" x2="{xm:.1f}" '
                   f'y2="{h - 16}" stroke="{_INK}" stroke-width="1" '
@@ -215,11 +220,10 @@ def render_html(rx, t: float, interval_s: float) -> str:
                f'lat={math.degrees(lat):.6f} lon={math.degrees(lon):.6f} '
                f'h={hgt:.1f} m ({nsat} sats)</p>')
 
-    evs = []
-    for r in parts:
-        evs.extend(r.events)
+    # rx.events is already time-sorted across front-end groups (both
+    # Receiver and the MultiReceiver wrapper expose the sorted property)
     ev_html = "".join(f"<li>{html.escape(' '.join(str(x) for x in e))}"
-                      "</li>" for e in evs[-6:])
+                      "</li>" for e in rx.events[-6:])
 
     return f"""<!DOCTYPE html>
 <html><head><meta charset="utf-8">
@@ -272,11 +276,15 @@ class HtmlView:
         if t < self._next_t:
             return
         self._next_t = t + self.interval
-        text = render_html(self.rx, t, self.interval)
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(text)
-        os.replace(tmp, self.path)     # readers never see a torn page
+        try:
+            text = render_html(self.rx, t, self.interval)
+            tmp = self.path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(text)
+            os.replace(tmp, self.path)  # readers never see a torn page
+        except OSError as e:            # diagnostics must never take
+            import sys                  # down the receiver run
+            print(f"watch-html: {e}", file=sys.stderr)
 
     def close(self) -> None:
         try:

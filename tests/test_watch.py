@@ -140,4 +140,4 @@ def test_html_live_view(tmp_path):
     assert "IF spectrum" in page
     # final render is internally consistent with the live state helpers
     final = render_html(rx, 6.0, 0.2)
-    assert "L1CA" in final and "track" in final or "nav" in final
+    assert "L1CA" in final and ("track" in final or "nav" in final)

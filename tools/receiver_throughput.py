@@ -141,13 +141,17 @@ def _run(pipeline: bool, nsteps: int, depth: int, rinexdir: str) -> dict:
     if t_steady is not None and rx2.base > base_steady:
         s["msps_steady"] = ((rx2.base - base_steady) / 1e6
                             / max(time.time() - t_steady, 1e-9))
-    if block_walls:
+    if len(block_walls) >= max(8, 4 * depth):
         # sustainable (p50) rate: the relay interjects multi-second
         # stragglers that say nothing about the pipeline's sustainable
         # throughput (a production PCIe attach has none); the median
-        # block wall is the straggler-robust estimator, the windowed
-        # average above the straggler-inclusive one
-        med = float(np.median(block_walls))
+        # block wall under back-pressure is the straggler-robust
+        # estimator, the windowed average above the straggler-inclusive
+        # one.  The `depth` fastest walls are pipeline-fill credits
+        # (dispatch-only steps), not sustained throughput — drop them;
+        # short runs without enough sustained blocks get no p50.
+        walls = np.sort(np.asarray(block_walls))[depth:]
+        med = float(np.median(walls))
         s["msps_steady_p50"] = nsteps * rx2.nsamp / 1e6 / max(med, 1e-9)
         s["n_steady_blocks"] = len(block_walls)
     s["label"] = (("pipelined" if pipeline else "sequential")
@@ -181,8 +185,10 @@ def main():
         stdy = s.get("msps_steady")
         stdy = f"steady {stdy:6.1f} ({stdy / 16.368:4.1f}x rt)" if stdy \
             else ""
+        p50 = s.get("msps_steady_p50")
+        p50 = f"p50 {p50:6.1f} ({p50 / 16.368:4.1f}x)" if p50 else ""
         print(f"{s['label']:16s} {s['msps']:7.1f} Msps "
-              f"({s['msps'] / 16.368:4.1f}x real-time)  {stdy}  "
+              f"({s['msps'] / 16.368:4.1f}x real-time)  {stdy}  {p50}  "
               f"locked={len(s['locked'])} decoded={len(s['decoded'])} "
               f"epochs={s['epochs']} ephs={s['ephs']}")
     return 0
