@@ -190,7 +190,7 @@ def _kernel_band(band_i_ref, band_q_ref, r2_ref, rem_ref, ftot_ref,
 
 
 def gram_usum_band_impl(band_i, band_q, r2, rem, ftot, q, r, n,
-                        interpret=False):
+                        interpret=False, group: int = 8):
     """Band-resident variant of :func:`gram_usum_impl`.
 
     band_i: (NBAND, 128) bf16 contiguous 128-sample rows covering every
@@ -212,8 +212,8 @@ def gram_usum_band_impl(band_i, band_q, r2, rem, ftot, q, r, n,
 
     B, K2, _ = r2.shape
     K = K2 // 2
-    G = 8
-    assert B % G == 0, "pad the batch to a multiple of 8"
+    G = int(group)          # windows per grid cell (VMEM per cell ~ G)
+    assert B % G == 0, f"pad the batch to a multiple of {G}"
     assert K % 32 == 0, "pad window rows to a multiple of 32 (int8 tile)"
     iq = band_q is not None
     NBAND = band_i.shape[0]

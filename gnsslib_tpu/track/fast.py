@@ -125,6 +125,12 @@ class FastTracker:
         # rows per window for the take-based fetch: nwin rounded up to
         # whole 128-rows, +1 halo row for the residual-rotation pair
         self._fetch_nr = (self.nwin + 127) // 128 + 1
+        # band-kernel windows per grid cell: larger cells amortize the
+        # per-cell sequencing overhead (interleaved duel on v5e: G=32
+        # 0.342 ms/super-step vs G=16 0.346 vs G=8 0.365 -> 478.9 vs
+        # 449.0 Msps); IQ signals keep G=8 — their replicated band
+        # planes already push the VMEM budget
+        self._band_group = 32 if tracker.dtype != DType.IQ else 8
         # diag-correlator geometry: replica row-pair lane width covering
         # every tap lag d = smax+o in [0, 2*smax] for any lane j < 128
         self._diag_wl = 128 * ((128 + 2 * self.smax + 127) // 128)
@@ -581,7 +587,8 @@ class FastTracker:
         r2 = jnp.concatenate(
             [rcp[:, :128 * Kp].reshape(B, Kp, 128),
              rcp[:, 64:64 + 128 * Kp].reshape(B, Kp, 128)], axis=1)
-        padB = (-B) % 8
+        group = getattr(self, "_band_group", 8)
+        padB = (-B) % group
         if padB:
             r2 = jnp.pad(r2, ((0, padB), (0, 0), (0, 0)))
             rem = jnp.pad(rem, (0, padB))
@@ -591,7 +598,7 @@ class FastTracker:
             n = jnp.pad(n, (0, padB))
         usum = gram_usum_band_impl(band_i, band_q, r2, rem, ftot,
                                    qrow, rres, n.astype(jnp.float32),
-                                   interpret=interpret)
+                                   interpret=interpret, group=group)
         if padB:
             usum = usum[:B]
         D = self._split_D(jnp.bfloat16)
