@@ -294,6 +294,38 @@ def test_acq_pipeline_matches_sequential(if_file):
         assert ta[t][prn].D == pytest.approx(ts[t][prn].D, abs=0.5)
 
 
+def test_acq_pipeline_depth_auto(if_file):
+    """The search-collect depth defaults by block size: 2 when ACQSLEEP
+    spans at least two blocks (collect after the search drained), 1 at
+    2 s blocks (every block carries a search; deferring collects stacks
+    them without measuring faster while costing lock latency)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from gnsslib_tpu.io.frontend import FileFrontend, FrontendSpec
+    from gnsslib_tpu.constants import FrontendType
+    from gnsslib_tpu.runtime.config import ReceiverConfig, ChannelConfig
+    from gnsslib_tpu.runtime.receiver import Receiver
+    from gnsslib_tpu.track.state import TrackConfig
+
+    tmp, path = if_file
+    spec = FrontendSpec(fend=FrontendType.FILE, f_cf=1.57542e9, f_sf=F_SF,
+                        f_if=F_IF, dtype=DType.REAL)
+
+    def mk(nsteps, **kw):
+        cfg = ReceiverConfig(
+            channels=[ChannelConfig(prn=3)], fends=[spec],
+            files=[str(path)],
+            track=TrackConfig(corrn=4, corrd=2, corrp=2),
+            outms=400, rinex=False)
+        return Receiver(cfg, FileFrontend(str(path), spec),
+                        nsteps_per_block=nsteps, **kw)
+
+    assert mk(400).acq_pipeline_depth == 2     # 0.4 s blocks
+    assert mk(1000).acq_pipeline_depth == 2    # 1.0 s = ACQSLEEP/2
+    assert mk(2000).acq_pipeline_depth == 1    # 2.0 s blocks
+    assert mk(2000, acq_pipeline_depth=3).acq_pipeline_depth == 3
+
+
 def test_checkpoint_resume(if_file):
     """Stop mid-stream, snapshot, resume in a fresh Receiver: identical
     RINEX-epoch production afterwards (SURVEY.md §5 resume story)."""
