@@ -282,12 +282,15 @@ class HtmlView:
             with open(tmp, "w") as f:
                 f.write(text)
             os.replace(tmp, self.path)  # readers never see a torn page
-        except OSError as e:            # diagnostics must never take
-            import sys                  # down the receiver run
-            print(f"watch-html: {e}", file=sys.stderr)
+        except Exception as e:          # diagnostics must never take
+            import sys                  # down the receiver run — ANY
+            # render failure (unexpected telemetry shape, None field,
+            # disk error) is logged and skipped, not propagated through
+            # the receiver's progress callback (advisor r4)
+            print(f"watch-html: {type(e).__name__}: {e}", file=sys.stderr)
 
     def close(self) -> None:
         try:
             self.tick(self._next_t)    # force one final frame
-        except OSError:                # pragma: no cover
+        except Exception:              # pragma: no cover
             pass

@@ -15,9 +15,20 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 try:                                     # jax >= 0.7 public API
-    from jax import shard_map
+    from jax import shard_map as _shard_map
 except ImportError:                      # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def shard_map(f, **kw):
+    """shard_map with varying-mesh-axes checking off: the compute path
+    has ZERO collectives (channels are independent), and pallas_call
+    outputs don't declare `vma`, which newer jax would otherwise reject
+    under the default check_vma=True."""
+    try:
+        return _shard_map(f, check_vma=False, **kw)
+    except TypeError:                    # pragma: no cover - older jax
+        return _shard_map(f, **kw)
 
 from ..acquire.search import Acquirer, AcqResult
 from ..track.loop import Tracker, TrackOutputs
@@ -122,11 +133,12 @@ class ShardedFastTracker:
     def __init__(self, fast, mesh: Mesh, axis: str = "ch"):
         n = mesh.shape[axis]
         self.fast = fast
-        if fast.corr in ("band", "band-interpret"):
-            # the band-resident kernel's whole-block VMEM residency is
-            # tuned (and validated) for the unsharded layout; under
-            # shard_map keep the MXU Gram-diagonal path
-            fast.corr = "diag"
+        # the band-resident kernel runs unchanged under shard_map: its
+        # shapes key off the LOCAL channel count (track/fast.py run_steps
+        # reads geo["q_idx"].shape) and its VMEM footprint (corr setter)
+        # depends only on L/n_nom/nwin, not C — each device places its
+        # own band over its channel shard's windows.  Validated against
+        # the unsharded program in tests/test_parallel.py.
         self.trk = fast.trk
         self.L = fast.L
         self.mesh = mesh

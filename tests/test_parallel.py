@@ -102,6 +102,39 @@ def test_sharded_fast_tracker_matches_single():
     assert o2.ip.shape == out_a.ip.shape
 
 
+def test_sharded_band_correlator_matches_single():
+    """The band-resident correlator runs UNDER shard_map (its shapes key
+    off the local channel count; VMEM footprint is C-independent) and
+    matches the unsharded band program — closes the round-4 silent
+    band->diag downgrade (the fastest kernel now runs multi-chip)."""
+    from gnsslib_tpu.parallel import ShardedFastTracker
+    from gnsslib_tpu.track import FastTracker
+
+    cfg = TrackConfig(corrn=1, corrd=1, corrp=1)
+    prns = list(range(1, C + 1))
+    trk = Tracker(cfg, prns, [CodeType.L1CA] * C, F_SF, F_IF, DType.REAL)
+    fast = FastTracker(trk, use_pallas=False)
+    fast.corr = "band-interpret"      # Mosaic interpreter on the CPU mesh
+    mesh = make_mesh(8)
+    sfast = ShardedFastTracker(fast, mesh)
+    assert sfast.fast.corr == "band-interpret"   # no silent downgrade,
+    assert fast.corr == "band-interpret"         # no caller mutation
+    nsteps = 20                        # 2 super-steps of L=10
+    data = _signal(nsteps * trk.n_nom + trk.nwin + 8 * nsteps + 3000)
+    block = jnp.asarray(data)
+    st0 = trk.init_state()
+    st0 = trk.start_channels(st0, list(range(C)), [10 * p for p in prns],
+                             [100.0 * p - 400.0 for p in prns])
+    for c in range(C):
+        st0 = trk.set_bit_sync(st0, c, c % 10)
+    st_a, out_a = fast.run_block(st0, block, nsteps)
+    st_b, out_b = sfast.run_block(st0, block, nsteps)
+    np.testing.assert_allclose(out_a.ip, out_b.ip, rtol=1e-5, atol=1e-3)
+    np.testing.assert_array_equal(out_a.loc, out_b.loc)
+    np.testing.assert_allclose(np.asarray(st_a.remcode),
+                               np.asarray(st_b.remcode), atol=1e-6)
+
+
 def test_sharded_uneven_channels():
     """C not divisible by the mesh axis: the wrappers pad the channel
     axis (repeating the last channel) and slice outputs back — results

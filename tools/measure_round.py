@@ -40,6 +40,19 @@ REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 F_SF_MSPS = 16.368
 
 
+def _median(vals):
+    """Interpolating median — the ONE estimator used both for the
+    keep-previous-batch comparison and the stored receiver_median_*
+    values (advisor r4: two inconsistent estimators disagreed for even
+    session counts)."""
+    vals = sorted(vals)
+    if not vals:
+        return 0.0
+    n = len(vals)
+    return (vals[n // 2] if n % 2
+            else 0.5 * (vals[n // 2 - 1] + vals[n // 2]))
+
+
 def _run_child(cmd, timeout_s, want_tpu=True, retries=3, label=""):
     """Run cmd, parse the LAST JSON line of stdout; retry on death,
     stall, or a non-TPU device.  Returns (result|None, diagnostics)."""
@@ -146,16 +159,24 @@ def main() -> int:
         """Across re-measures, keep the better TPU result (bench.py's
         own within-run semantics are best-of-passes; relay weather
         varies hour to hour and a re-measure must not erase a
-        faster-session number with a slower one)."""
+        faster-session number with a slower one).  A prior TPU number is
+        NEVER overwritten by a non-TPU re-measure — that fallback is
+        recorded under <key>_failures instead (advisor r4, medium)."""
         old = art.get(key)
-        if (new is not None and old is not None
-                and old.get("device") == "tpu"
-                and new.get("device") == "tpu"
-                and old.get("value", 0) > new.get("value", 0)):
-            print(f"# {key}: keeping previous {old['value']} over "
-                  f"{new['value']} (best-of-sessions)", flush=True)
+        if new is None:
             return old
-        return new if new is not None else old
+        if old is not None and old.get("device") == "tpu":
+            if new.get("device") != "tpu":
+                print(f"# {key}: keeping previous TPU {old['value']} — "
+                      f"re-measure fell back to "
+                      f"{new.get('device')!r}", flush=True)
+                art.setdefault(f"{key}_rejected", []).append(new)
+                return old
+            if old.get("value", 0) > new.get("value", 0):
+                print(f"# {key}: keeping previous {old['value']} over "
+                      f"{new['value']} (best-of-sessions)", flush=True)
+                return old
+        return new
 
     if "bench" not in skip:
         print("== headline bench (bench.py, own retry contract)",
@@ -205,13 +226,11 @@ def main() -> int:
         # the p50 median as tiebreak: a batch with a great p50 but a
         # stall-collapsed average is a worse official record than one
         # where both medians hold up.
-        def med(vals):
-            vals = sorted(vals)
-            return vals[len(vals) // 2] if vals else 0.0
         prev_avg = art.get("receiver_median_avg_msps", 0.0)
         prev_p50 = art.get("receiver_median_msps", 0.0)
-        new_avg = med([s.get("msps_steady_avg") or 0.0 for s in sessions])
-        new_p50 = med([s["value"] for s in sessions])
+        new_avg = _median([s.get("msps_steady_avg") or 0.0
+                           for s in sessions])
+        new_p50 = _median([s["value"] for s in sessions])
         if sessions and art.get("receiver_sessions") and (
                 (new_avg, new_p50) < (prev_avg, prev_p50)):
             print(f"# receiver: keeping previous batch (avg median "
@@ -223,21 +242,16 @@ def main() -> int:
         if fails:
             art["receiver_failures"] = fails
         if sessions:
-            def median(vals):
-                vals = sorted(vals)
-                return (vals[len(vals) // 2] if len(vals) % 2 else
-                        0.5 * (vals[len(vals) // 2 - 1]
-                               + vals[len(vals) // 2]))
-            med = median([s["value"] for s in sessions])
-            art["receiver_median_msps"] = round(med, 2)
-            art["receiver_median_x_realtime"] = round(med / F_SF_MSPS, 2)
+            p50 = _median([s["value"] for s in sessions])
+            art["receiver_median_msps"] = round(p50, 2)
+            art["receiver_median_x_realtime"] = round(p50 / F_SF_MSPS, 2)
             avgs = [s["msps_steady_avg"] for s in sessions
                     if s.get("msps_steady_avg")]
             if avgs:
                 # straggler-INCLUSIVE windowed average, for reference:
                 # the relay interjects multi-second stalls unrelated to
                 # the pipeline (p50 vs avg gap = stall budget)
-                art["receiver_median_avg_msps"] = round(median(avgs), 2)
+                art["receiver_median_avg_msps"] = round(_median(avgs), 2)
 
     with open(out_path, "w") as f:
         json.dump(art, f, indent=1)
