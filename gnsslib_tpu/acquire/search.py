@@ -211,12 +211,12 @@ class Acquirer:
             return jax.lax.complex(data[..., 0], data[..., 1])
         return data.astype(jnp.complex64)
 
-    def _search_impl(self, data_rounds, consts):
-        """data_rounds: (intg, 2*nsamp[, 2]) float32 windows.
-
-        Returns P (C, F, nsamp_d) non-coherently integrated power on the
-        search grid (= full rate when coarse is off).
-        """
+    def _power_impl(self, data_rounds, consts):
+        """FFT power stage: (intg, 2*nsamp[, 2]) windows -> even/odd
+        accumulated power Ph (C, 2, F, nsamp_d).  F follows consts
+        ["d_cps"], so a Doppler-sharded caller (parallel/sharded.py
+        ShardedAcquirer freq mode) can run this per grid slice and feed
+        the combined surface to :meth:`_decide_impl`."""
         d_cps = consts["d_cps"]
         ng = self.nsamp_d
 
@@ -258,17 +258,31 @@ class Acquirer:
             return jnp.stack([p[0::2].sum(axis=0), p[1::2].sum(axis=0)])
         Ph = jax.lax.map(one_channel, tuple(
             consts[k] for k in ("codex_ri", "base_phase")))
-        # acceptance test in the same program: one compile, and only the
-        # tiny decision vectors leave the device.  The barrier stops XLA
-        # from fusing the reduction stage into the FFT loop — without it
-        # the CPU backend's optimizer blows up (minutes-long compiles).
-        Ph = jax.lax.optimization_barrier(Ph)
+        # barrier: stops XLA from fusing the reduction stage into the
+        # FFT loop — without it the CPU backend's optimizer blows up
+        # (minutes-long compiles)
+        return jax.lax.optimization_barrier(Ph)
+
+    def _decide_impl(self, data_rounds, consts, Ph):
+        """Acceptance stage: Ph (C, 2, F, nsamp_d) -> decision vectors.
+        Runs in the same program as the power stage (one compile; only
+        the tiny decision vectors leave the device)."""
         P = Ph[:, 0] + Ph[:, 1]
         codei, freqi, cn0, peakr = self.check_impl(P, consts["nsampchip"])
         if self.coarse:
             codei = self._refine_impl(data_rounds, consts, codei, freqi)
         return ((P, codei, freqi, cn0, peakr)
                 + (self.confirm_impl(Ph, consts["nsampchip"]),))
+
+    def _search_impl(self, data_rounds, consts):
+        """data_rounds: (intg, 2*nsamp[, 2]) float32 windows.
+
+        Returns P (C, F, nsamp_d) non-coherently integrated power on the
+        search grid (= full rate when coarse is off) plus the decision
+        vectors.
+        """
+        return self._decide_impl(data_rounds, consts,
+                                 self._power_impl(data_rounds, consts))
 
     def _refine_impl(self, data_rounds, consts, codei_d, freqi):
         """Fine stage: full-rate code phase at the winning Doppler bin.

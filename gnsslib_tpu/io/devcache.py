@@ -65,12 +65,22 @@ class DeviceBlockCache:
                     if total else 16)
             seg_blocks = min(cap, max(16, want))
         self.seg_len = int(seg_blocks) * self.block_len
+        # FIRST segment short (cold-start fix, round 5): a whole-capture
+        # segment is one giant host->device transfer (327 MB for the
+        # 20 s envelope ≈ 12 s through the relay tunnel) and every
+        # subsequent device->host read — including the first
+        # acquisition's decision vectors — queues BEHIND it, gating the
+        # first lock on the full upload.  The first segment covers just
+        # enough blocks to reach lock + pull-in; the prefetch worker
+        # then ships the full-size remainder overlapped with tracking.
+        self._first_len = min(16, int(seg_blocks)) * self.block_len
         self._start = 0
         self._seg = None
+        self._cur_len = 0             # length of the current segment
         self._np_dtype = None
         self._exec = (concurrent.futures.ThreadPoolExecutor(1)
                       if prefetch else None)
-        self._next = None             # (start, Future[device array])
+        self._next = None             # (start, len, Future[device array])
 
     def _compress(self, x: np.ndarray) -> np.ndarray:
         """Narrowest exact host dtype for the decoded samples.  Checked
@@ -93,22 +103,44 @@ class DeviceBlockCache:
         self._np_dtype = np.float32
         return x.astype(np.float32, copy=False)
 
-    def _load(self, start: int):
+    def _load(self, start: int, length: int):
         read = getattr(self.fe, "read_narrow", self.fe.read)
-        return jnp.asarray(self._compress(read(start, self.seg_len)))
+        x = self._compress(read(start, length))
+        # chunked upload with per-chunk fences: one monolithic put of a
+        # whole-capture segment holds the relay FIFO for seconds
+        # (measured 327 MB ≈ 4.6 s at ~70 MB/s) and every queued
+        # device->host read — telemetry joins, acquisition decisions —
+        # waits it out.  32 MB chunks with a scalar-get fence after each
+        # let concurrent reads interleave at chunk boundaries; a final
+        # on-device concat rebuilds the contiguous segment (an HBM-only
+        # copy).  The fence must be a device_get: block_until_ready is
+        # a no-op through the relay.
+        row = x.shape[1] if x.ndim == 2 else 1
+        csize = max(1, 32 * 1024 * 1024 // (x.dtype.itemsize * row))
+        if x.shape[0] <= csize:
+            return jnp.asarray(x)
+        chunks = []
+        for i in range(0, x.shape[0], csize):
+            c = jnp.asarray(x[i:i + csize])
+            jax.device_get(c[(0,) * c.ndim])   # fence (see above)
+            chunks.append(c)
+        return jnp.concatenate(chunks, axis=0)
 
     def _upload(self, start: int) -> None:
         if self._next is not None:
-            nstart, fut = self._next
+            nstart, nlen, fut = self._next
             self._next = None
             if nstart <= start and start + self.block_len \
-                    <= nstart + self.seg_len:
+                    <= nstart + nlen:
                 self._seg = fut.result()
                 self._start = nstart
+                self._cur_len = nlen
                 return
             fut.cancel() or fut.result()      # drain a useless prefetch
-        self._seg = self._load(start)
+        length = self._first_len if self._seg is None else self.seg_len
+        self._seg = self._load(start, length)
         self._start = start
+        self._cur_len = length
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _slice(self, seg, off):
@@ -119,15 +151,17 @@ class DeviceBlockCache:
         if n != self.block_len:
             raise ValueError(f"block length {n} != {self.block_len}")
         if self._seg is None or start < self._start or \
-                start + n > self._start + self.seg_len:
+                start + n > self._start + self._cur_len:
             self._upload(start)
         if self._exec is not None and self._next is None and \
-                start + 3 * self.block_len > self._start + self.seg_len:
+                start + 3 * self.block_len > self._start + self._cur_len:
             # the earliest possible next miss is one block before the end;
             # skip when the current segment already reaches end-of-stream
             # (the prefetched segment would be EOF zero-pad nobody reads)
-            nstart = self._start + self.seg_len - self.block_len
+            nstart = self._start + self._cur_len - self.block_len
             total = getattr(self.fe, "nsamples", None)
             if total is None or nstart + self.block_len <= total:
-                self._next = (nstart, self._exec.submit(self._load, nstart))
+                self._next = (nstart, self.seg_len,
+                              self._exec.submit(self._load, nstart,
+                                                self.seg_len))
         return self._slice(self._seg, start - self._start)

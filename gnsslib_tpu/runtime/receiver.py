@@ -16,7 +16,9 @@ stream replaces the 2 s sleep (src/sdracq.c:57-59).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
+import threading
 import time
 
 import numpy as np
@@ -43,6 +45,46 @@ try:
     import jax.numpy as jnp
 except ImportError:                                    # pragma: no cover
     jnp = None
+
+
+class _BgFetch:
+    """Background device->host fetch.
+
+    The relay attach's device_get waits out the device queue (a search
+    decision read one block after dispatch measured 108 ms at 2 s blocks
+    — a whole tracking block of queued device time, the round-4 "2-s
+    blocks below real-time" cause).  A main-thread dispatch is NOT
+    blocked by another thread's in-flight device_get (measured 0.23 ms
+    dispatch under a 585 ms blocked get), so the fetch starts here, on a
+    daemon thread, AT DISPATCH; the receiver's apply schedule stays
+    exactly as before (deterministic — results apply at fixed block
+    offsets, never "whenever the thread lands"), but the scheduled
+    ``get()`` joins an already-landed result instead of stalling the
+    pipeline.  Exceptions (e.g. the band correlator's out-of-band
+    fail-loud) re-raise at ``get()`` — the same point the synchronous
+    collect raised."""
+
+    __slots__ = ("_done", "_result", "_exc")
+
+    def __init__(self, fn, *args):
+        self._done = threading.Event()
+        self._result = None
+        self._exc = None
+
+        def run():
+            try:
+                self._result = fn(*args)
+            except BaseException as e:      # pragma: no cover - re-raised
+                self._exc = e
+            finally:
+                self._done.set()
+        threading.Thread(target=run, daemon=True).start()
+
+    def get(self):
+        self._done.wait()
+        if self._exc is not None:
+            raise self._exc
+        return self._result
 
 
 @dataclasses.dataclass
@@ -238,7 +280,8 @@ class Receiver:
                  standalone: bool = True, pipeline: bool = True,
                  mesh=None, channels=None, cache=None,
                  pipeline_depth: int = 2, pipeline_acq: bool | None = None,
-                 acq_pipeline_depth: int | None = None):
+                 acq_pipeline_depth: int | None = None,
+                 precompile: bool | None = None):
         self.cfg = cfg
         self.frontend = frontend
         self.standalone = standalone
@@ -255,7 +298,7 @@ class Receiver:
         # flags.  Costs ``depth`` blocks of nav/output latency.
         self.pipeline = pipeline
         self.pipeline_depth = max(1, int(pipeline_depth))
-        self._pending = []            # FIFO of (handle, base, cnt0, locked0)
+        self._pending = []            # FIFO of (getter, base, cnt0, locked0)
         # pipelined acquisition: dispatch the search, read the decision
         # TWO blocks later (overlapped with tracking compute) instead of a
         # blocking device->host read that drains the pipeline every
@@ -272,8 +315,12 @@ class Receiver:
                              else bool(pipeline_acq))
         self._acq_pipeline_depth_arg = acq_pipeline_depth
         # in-flight pipelined searches, oldest first:
-        # (handle, base, t_disp, pend_idx)
+        # (getter, base, t_disp, pend_idx)
         self._acq_pend: list = []
+        # background fetches (see _BgFetch): safe single-process; multi-
+        # controller collects run collectives that must execute in
+        # identical order on every process, so they stay synchronous
+        self._bg_ok = None
         # cooperative stop (the reference's keythread 'q' -> stopflag,
         # src/sdrmain.c:59-80): run loops exit at the next block boundary
         # and flush pipelined blocks, so writers close complete
@@ -324,17 +371,15 @@ class Receiver:
         self.block_len = (self.nsteps * self.nsamp + self.trk.nwin
                           + NSPAN * self.nsteps + 2 * self.nsamp + 64)
         # search-collect depth (see the pipelined-acquisition comment
-        # above).  Auto: depth 2 when ACQSLEEP spans at least two blocks
-        # (the search dispatched at block k has fully drained behind
-        # track(k) by the k+2 collect, measured 164-213 vs 99-136 Msps
-        # at 400-step blocks); depth 1 when every block carries a search
-        # (2 s blocks: deferred collects stack two searches in the relay
-        # queue and measure NO faster, while costing 2 blocks of lock
-        # latency — interleaved A/B on v5e: d1 118-125 vs d2 77-122).
+        # above).  Depth 2 unconditionally since the background-fetch
+        # change: the decision read starts on a daemon thread at
+        # dispatch, so by the k+2 apply the bytes landed long ago and the
+        # join is free at EVERY block size (the round-4 auto-depth-1
+        # choice for 2 s blocks predates _BgFetch — it was balancing the
+        # main-thread relay wait, which no longer exists; profiled on
+        # v5e: steady acq join 40-80 ms/block at d1 vs ~0 at d2).
         if self._acq_pipeline_depth_arg is None:
-            block_s = self.nsteps * self.nsamp / spec.f_sf
-            self.acq_pipeline_depth = 2 if block_s <= ACQSLEEP / 2000.0 \
-                else 1
+            self.acq_pipeline_depth = 2
         else:
             self.acq_pipeline_depth = max(
                 1, int(self._acq_pipeline_depth_arg))
@@ -400,6 +445,71 @@ class Receiver:
         # channel list, so cross-channel lookups (the SBAS week borrow,
         # src/sdrnav_sbs.c:124-127) see every group's channels
         self.peer_channels = None
+        # cold-start observability (time-to-first-fix, SURVEY.md §5 /
+        # round-5 TTFF work): wall-clock milestones since construction,
+        # each recorded once — "first_block" (first step_block returned,
+        # i.e. acquisition + tracking compiles done), "first_lock",
+        # "first_sync" (first bit sync), "steady" (every locked channel
+        # synced, fast path engaged), "first_epoch" (first observable
+        # epoch emitted).  tools/ttff.py reports these per process.
+        self.timeline = {"t0": time.time()}
+        # cold-start fix: warm the acquisition / pull-in / steady-state
+        # program caches on a background thread, overlapped with the
+        # capture upload (ttff measured the three compiles serializing
+        # with the stream: first_block 10.6 s, fast compile stalling the
+        # steady switch ~7 s — all on a warm persistent cache; the
+        # per-process cost is compile-cache deserialization, which
+        # threads overlap)
+        self._precompile(enabled=precompile)
+
+    def _precompile(self, enabled: bool | None) -> None:
+        try:
+            import jax
+            if enabled is None:
+                # auto: accelerator backends only (CPU tests would pay
+                # real compile time for programs many tests never run),
+                # unsharded engines only (keep mesh dispatch order owned
+                # by the main thread)
+                enabled = (jax.default_backend() not in ("cpu",)
+                           and self._fast_eng is self.fast)
+        except Exception:                      # pragma: no cover
+            enabled = False
+        if not enabled:
+            return
+        from ..constants import DType
+
+        def work():
+            try:
+                import jax.numpy as jnp
+                shape = ((self.block_len, 2)
+                         if self.spec.dtype == DType.IQ
+                         else (self.block_len,))
+                block = jnp.zeros(shape, jnp.float32)
+                # full-grid acquisition (the block-0 search program)
+                self.acq.search_dev_start(
+                    block, diag=self.spec_monitor is not None)
+                carry = self.trk._state_to_dict(self.trk.init_state())
+                # per-period pull-in scan
+                self.trk._run(carry, block, self.trk._consts, self.nsteps)
+                # steady-state fast program (otherwise compiles AT the
+                # steady switch, stalling the stream mid-run)
+                if self.fast is not None and \
+                        self.nsteps % self.fast.L == 0:
+                    self.fast._run(carry, block, self.fast._consts,
+                                   self.fast._fconsts,
+                                   self.nsteps // self.fast.L)
+                self._mark("precompiled")
+            except Exception as e:             # pragma: no cover - warm
+                # path only; a failure here just means the programs
+                # compile at first use, as before
+                import sys
+                print(f"precompile: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+        threading.Thread(target=work, daemon=True).start()
+
+    def _mark(self, name: str) -> None:
+        if name not in self.timeline:
+            self.timeline[name] = time.time() - self.timeline["t0"]
 
     @property
     def events(self) -> list:
@@ -427,6 +537,20 @@ class Receiver:
         return self.hub.nav_writer
 
     # ------------------------------------------------------------------ #
+    def _bg_fetch(self, fn, *args):
+        """Wrap a blocking device->host collect: background thread when
+        safe (single controller), else a deferred synchronous call.
+        Returns a zero-arg getter."""
+        if self._bg_ok is None:
+            try:
+                import jax
+                self._bg_ok = jax.process_count() == 1
+            except Exception:               # pragma: no cover
+                self._bg_ok = False
+        if self._bg_ok:
+            return _BgFetch(fn, *args).get
+        return functools.partial(fn, *args)
+
     def _acq_dispatch(self) -> "AcqResult":
         """One acquisition pass over the current stream position — the
         single override point (tests intercept it to suppress channels).
@@ -455,9 +579,8 @@ class Receiver:
                 or self.base - self._acq_pend[0][1]
                 >= self.acq_pipeline_depth * adv
                 or len(self._acq_pend) > self.acq_pipeline_depth):
-            handle, base_s, t_disp, pend_idx = self._acq_pend.pop(0)
-            self._apply_acq(self.acq.search_dev_collect(handle),
-                            base_s, t_disp, pend_idx)
+            getter, base_s, t_disp, pend_idx = self._acq_pend.pop(0)
+            self._apply_acq(getter(), base_s, t_disp, pend_idx)
 
     def _try_acquire(self) -> None:
         t_stream = self.base / self.spec.f_sf
@@ -481,11 +604,17 @@ class Receiver:
             # late, comparable to the reference's own 2 s retry
             # granularity).  Tests overriding _acq_search keep the
             # synchronous path.
+            handle = self.acq.search_dev_start(
+                self.cache.get(self.base, self.block_len),
+                diag=self.spec_monitor is not None,
+                idx=[ch.idx for ch in pend])
+            # the decision read starts NOW on a background thread (the
+            # search runs behind the in-flight tracking blocks; the
+            # scheduled apply then joins landed bytes instead of waiting
+            # a tracking block of relay queue — the round-4 2-s-block
+            # bottleneck)
             self._acq_pend.append((
-                self.acq.search_dev_start(
-                    self.cache.get(self.base, self.block_len),
-                    diag=self.spec_monitor is not None,
-                    idx=[ch.idx for ch in pend]),
+                self._bg_fetch(self.acq.search_dev_collect, handle),
                 self.base, t_stream, [ch.idx for ch in pend]))
             return
         self._apply_acq(self._acq_search(), self.base, t_stream,
@@ -514,6 +643,7 @@ class Receiver:
             ch.locked = True
             ch.t_acq = self.base / self.spec.f_sf
             ch.cn0 = float(res.cn0[i])
+            self._mark("first_lock")
             self.state = self.trk.start_channels(
                 self.state, [i], [codei], [dcarr])
             self._cnt_host[i] = 0
@@ -644,6 +774,7 @@ class Receiver:
                 self.state = self.trk.set_bit_sync(self.state, i,
                                                    ch.nav.sync_offset)
                 ch.synced = True
+                self._mark("first_sync")
             if ch.cfg.ctype == CodeType.L1SBAS and self.hub.sbas_srv:
                 self._send_sbas(ch, evs)
             if i in self.loggers:
@@ -806,6 +937,8 @@ class Receiver:
         epochs = (self.hub.emit_epochs(self.collect_obs_inputs())
                   if self.standalone else [])
         self.hub.emit_nav(self.channels)
+        if self.hub.epochs_written:
+            self._mark("first_epoch")
         return epochs
 
     # ------------------------------------------------------------------ #
@@ -881,11 +1014,14 @@ class Receiver:
         self._try_acquire()
         if not any(ch.locked for ch in self.channels):
             self.base += advance
+            self._mark("first_block")
             return
         use_fast = (self.fast is not None
                     and self.nsteps % self.fast.L == 0
                     and all(ch.synced for ch in self.channels
                             if ch.locked))
+        if use_fast:
+            self._mark("steady")
         pipelined = use_fast and self.pipeline
         if not pipelined:
             # the in-flight blocks (if any) may feed nav state the slow
@@ -902,7 +1038,12 @@ class Receiver:
         if pipelined:
             self.state, handle = self._fast_eng.run_block_start(
                 self.state, block, self.nsteps)
-            self._pending.append((handle, self.base, cnt0, locked0))
+            # telemetry fetch starts on a background thread at dispatch
+            # (same rationale as the acquisition decision read) — the
+            # depth-scheduled _collect below then joins landed bytes
+            self._pending.append((
+                self._bg_fetch(self._fast_eng.run_block_collect, handle),
+                self.base, cnt0, locked0))
             while len(self._pending) > self.pipeline_depth:
                 self._collect(*self._pending.pop(0))
         else:
@@ -913,10 +1054,11 @@ class Receiver:
         self._cnt_host[np.asarray(locked0)] += self.nsteps
         self.state = self.trk.rebase(self.state, advance)
         self.base += advance
+        self._mark("first_block")
 
-    def _collect(self, handle, base: int, cnt0: np.ndarray,
+    def _collect(self, getter, base: int, cnt0: np.ndarray,
                  locked0: list[bool]) -> None:
-        out = self._fast_eng.run_block_collect(handle)
+        out = getter()
         self._feed_nav_and_obs(out, cnt0, base, locked0)
         self._emit_epochs()
 

@@ -320,9 +320,13 @@ def test_acq_pipeline_depth_auto(if_file):
         return Receiver(cfg, FileFrontend(str(path), spec),
                         nsteps_per_block=nsteps, **kw)
 
+    # depth 2 at EVERY block size since the background-fetch change:
+    # the decision read starts on a daemon thread at dispatch, so the
+    # k+2 apply joins landed bytes (the round-4 depth-1-at-2s-blocks
+    # rule balanced a main-thread relay wait that no longer exists)
     assert mk(400).acq_pipeline_depth == 2     # 0.4 s blocks
     assert mk(1000).acq_pipeline_depth == 2    # 1.0 s = ACQSLEEP/2
-    assert mk(2000).acq_pipeline_depth == 1    # 2.0 s blocks
+    assert mk(2000).acq_pipeline_depth == 2    # 2.0 s blocks
     assert mk(2000, acq_pipeline_depth=3).acq_pipeline_depth == 3
 
 

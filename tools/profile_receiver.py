@@ -70,6 +70,11 @@ def main():
     timed(rx.trk, "rebase", "rebase")
     timed(rx, "_feed_nav_and_obs", "nav+obs(host)")
     timed(rx, "_emit_epochs", "emit")
+    # main-thread blocking time: the scheduled joins of the background
+    # fetches (acq decisions / block telemetry) — the bg threads' own
+    # device_get time shows under acq.collect / fast.collect
+    timed(rx, "_collect", "telem.join+feed")
+    timed(rx, "_collect_acq", "acq.join+apply")
 
     t0 = time.time()
     s = rx.run_seconds()

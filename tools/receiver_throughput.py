@@ -25,7 +25,11 @@ F_IF = 4.092e6
 SECONDS = float(os.environ.get("GNSSLIB_RXBENCH_SECONDS", "20"))
 NPRESENT = 12                      # satellites actually in the signal
 TOW0 = 352800.0
-CACHE = "/tmp/gnsslib_rxbench_l1ca_16m.bin"
+# capture cache keyed by length (the default 20 s keeps its historical
+# path) so a 40/60 s lifecycle run does not clobber the receiver-session
+# capture other tools share
+CACHE = ("/tmp/gnsslib_rxbench_l1ca_16m.bin" if SECONDS == 20.0 else
+         f"/tmp/gnsslib_rxbench_l1ca_16m_{SECONDS:g}s.bin")
 META = CACHE + ".json"
 
 
