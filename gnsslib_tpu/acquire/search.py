@@ -409,18 +409,29 @@ class Acquirer:
         (src/sdracq.c:14-59).
 
         ``idx``: optional pending-channel subset — the grid runs only for
-        those channels (padded to a multiple of 4 to bound the number of
-        compiled variants); the others come back unacquired.  Ignored
-        with ``diag`` (the monitor wants every channel's surface)."""
+        those channels (padded to the next power-of-two bucket >= 4 so
+        the number of compiled variants is O(log C), not O(C): a
+        many-channel receiver's pending count shrinks block by block as
+        channels lock, and per-length recompiles measured 215 s of
+        dispatch stalls in a 256-channel session); the others come back
+        unacquired.  Ignored with ``diag`` (the monitor wants every
+        channel's surface)."""
         if diag or idx is None or len(idx) >= self.C:
             idx = None
             handle = self._search_flat(block, self._consts)
         else:
-            idx = np.asarray(idx, np.int32)
-            pad = (-len(idx)) % 4
-            idxp = np.concatenate([idx, np.repeat(idx[:1], pad)])
-            handle = self._search_flat(block, self._consts,
-                                       jnp.asarray(idxp))
+            bucket = 4
+            while bucket < len(idx):
+                bucket *= 2
+            if bucket >= self.C:
+                idx = None
+                handle = self._search_flat(block, self._consts)
+            else:
+                idx = np.asarray(idx, np.int32)
+                pad = bucket - len(idx)
+                idxp = np.concatenate([idx, np.repeat(idx[:1], pad)])
+                handle = self._search_flat(block, self._consts,
+                                           jnp.asarray(idxp))
         P, codei, freqi, cn0, peakr, confirmed = handle
         for a in (codei, freqi, cn0, peakr, confirmed):
             # overlap the decision vectors' device->host copy with the

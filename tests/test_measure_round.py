@@ -59,7 +59,7 @@ def test_artifact_merge_preserves_other_sections(tmp_path):
     tool = os.path.join(os.path.dirname(mr.__file__), "measure_round.py")
     p = subprocess.run(
         [sys.executable, tool, "--round", "7", "--out", str(out),
-         "--skip", "bench,acq,receiver"],
+         "--skip", "bench,acq,receiver,ttff"],
         capture_output=True, timeout=60)
     assert p.returncode == 0, p.stderr
     final = json.loads(out.read_text())

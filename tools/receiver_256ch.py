@@ -49,9 +49,12 @@ def main() -> int:
         track=TrackConfig(corrn=6, corrd=3, corrp=6),
         outms=400, rinex=False)
 
+    nsteps = int(_os.environ.get("GNSSLIB_256CH_NSTEPS", "400"))
+    depth = int(_os.environ.get("GNSSLIB_256CH_DEPTH", "2"))
+
     def build():
         return Receiver(cfg, FileFrontend(rxt.CACHE, spec),
-                        nsteps_per_block=400, pipeline_depth=2)
+                        nsteps_per_block=nsteps, pipeline_depth=depth)
 
     T = {}
 
@@ -119,7 +122,7 @@ def main() -> int:
             msps * NCOPIES / rxt.F_SF * 1e6, 2)
     if len(walls) >= 10:
         med = float(np.median(np.sort(np.asarray(walls))[2:]))
-        p50 = 400 * rx.nsamp / 1e6 / med
+        p50 = nsteps * rx.nsamp / 1e6 / med
         out["msps_steady_p50"] = round(p50, 2)
         out["aggregate_p50_channel_msps"] = round(p50 * C, 1)
         out["aggregate_p50_x_32ch"] = round(
