@@ -452,8 +452,13 @@ def main() -> int:
                            if remaining() > retry_min_s
                            and tpu_attempts[0] < max_attempts else None)
             elif (tpu.result is None
-                  and time.time() - tpu.t_launch > stall_s):
-                # stalled: no result line in stall_s — kill and relaunch
+                  and time.time() - tpu.t_launch
+                  > stall_s * (1.0 + 0.5 * (tpu.attempt - 1))):
+                # stalled: no result line — kill and relaunch.  The
+                # threshold GROWS per attempt: a bad relay stretch can
+                # make compile+first block alone take ~250 s (measured),
+                # and retrying on the same tight clock just burns the
+                # budget 240 s at a time
                 tpu.kill()
                 record_failure(tpu, "stalled")
                 if cpu is None and not sessions:

@@ -67,13 +67,18 @@ class DeviceBlockCache:
         self.seg_len = int(seg_blocks) * self.block_len
         # FIRST segment short (cold-start fix, round 5): a whole-capture
         # segment is one giant host->device transfer (327 MB for the
-        # 20 s envelope ≈ 12 s through the relay tunnel) and every
+        # 20 s envelope ≈ 5-8 s through the relay tunnel) and every
         # subsequent device->host read — including the first
         # acquisition's decision vectors — queues BEHIND it, gating the
         # first lock on the full upload.  The first segment covers just
-        # enough blocks to reach lock + pull-in; the prefetch worker
-        # then ships the full-size remainder overlapped with tracking.
-        self._first_len = min(16, int(seg_blocks)) * self.block_len
+        # enough BYTES (~48 MB ≈ 1 s of transfer) to reach lock; the
+        # full-size remainder prefetches IMMEDIATELY after (see get())
+        # so it lands during the pull-in phase, before steady state.
+        # (sized in samples assuming the dominant int8 decode; a float32
+        # stream's first segment is 4x the bytes — still far below a
+        # whole capture)
+        fl_blocks = max(2, 48 * 1024 * 1024 // max(1, self.block_len))
+        self._first_len = min(int(seg_blocks), fl_blocks) * self.block_len
         self._start = 0
         self._seg = None
         self._cur_len = 0             # length of the current segment
@@ -153,9 +158,14 @@ class DeviceBlockCache:
         if self._seg is None or start < self._start or \
                 start + n > self._start + self._cur_len:
             self._upload(start)
-        if self._exec is not None and self._next is None and \
-                start + 3 * self.block_len > self._start + self._cur_len:
-            # the earliest possible next miss is one block before the end;
+        if self._exec is not None and self._next is None and (
+                self._cur_len < self.seg_len
+                or start + 3 * self.block_len
+                > self._start + self._cur_len):
+            # fire immediately while on the short FIRST segment (the big
+            # remainder then ships during pull-in, before the steady
+            # state the throughput metrics measure); otherwise the
+            # earliest possible next miss is one block before the end;
             # skip when the current segment already reaches end-of-stream
             # (the prefetched segment would be EOF zero-pad nobody reads)
             nstart = self._start + self._cur_len - self.block_len

@@ -106,7 +106,11 @@ def _receiver_session() -> int:
     fewest relay round trips per stream second once no read waits out
     the device queue; measured steady-avg 245.8 = 15.0x, p50 489 =
     29.9x vs 400/d2's stall-exposed averages).  Prints ONE JSON line."""
-    os.environ.setdefault("GNSSLIB_RXBENCH_SECONDS", "40")
+    # 60 s: at 2-s blocks the acq+sync latency pushes the week-carrying
+    # subframe-1 decode to stream t=42 (the 40 s capture ends at a
+    # processed t=38 and legitimately reports epochs=0); 60 s leaves
+    # the full eph gate (3 subframes, ~t=54) inside the capture too
+    os.environ.setdefault("GNSSLIB_RXBENCH_SECONDS", "60")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import receiver_throughput as rxt
     rxt.synthesize()
