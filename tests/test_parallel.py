@@ -217,18 +217,23 @@ def test_sharded_uneven_channels():
     np.testing.assert_allclose(np.asarray(st_a.remcode),
                                np.asarray(st_b.remcode), atol=1e-6)
 
-    # acquisition, 5 channels / 8 devices (more devices than channels)
+    # acquisition, 5 channels / 8 devices (more devices than channels):
+    # auto-selects the Doppler-sharded mode; the channel mode with edge
+    # padding stays covered via mode="ch"
     ca = 5
     acq = Acquirer(list(range(1, ca + 1)), [CodeType.L1CA] * ca,
                    F_SF, F_IF, DType.REAL, intg=3)
-    sacq = ShardedAcquirer(acq, make_mesh(8))
-    assert sacq._npad == 3
     adata = _signal((acq.intg + 2) * acq.nsamp)
-    ra, rb = acq.search(adata), sacq.search(adata)
-    np.testing.assert_array_equal(ra.codei, rb.codei)
-    np.testing.assert_array_equal(ra.freqi, rb.freqi)
-    np.testing.assert_allclose(ra.cn0, rb.cn0, rtol=1e-4)
-    np.testing.assert_array_equal(ra.acquired, rb.acquired)
+    ra = acq.search(adata)
+    sacq = ShardedAcquirer(acq, make_mesh(8))
+    assert sacq.mode == "freq"
+    sacq_ch = ShardedAcquirer(acq, make_mesh(8), mode="ch")
+    assert sacq_ch._npad == 3
+    for rb in (sacq.search(adata), sacq_ch.search(adata)):
+        np.testing.assert_array_equal(ra.codei, rb.codei)
+        np.testing.assert_array_equal(ra.freqi, rb.freqi)
+        np.testing.assert_allclose(ra.cn0, rb.cn0, rtol=1e-4)
+        np.testing.assert_array_equal(ra.acquired, rb.acquired)
 
 
 def test_receiver_over_mesh_matches_single(tmp_path):

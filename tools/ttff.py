@@ -37,7 +37,7 @@ import argparse
 import json
 
 
-def _run_once(rxt, stamp, label):
+def _run_once(rxt, stamp, label, stream=False):
     import jax
     from gnsslib_tpu.constants import DType, FrontendType
     from gnsslib_tpu.io.frontend import FileFrontend, FrontendSpec
@@ -56,7 +56,17 @@ def _run_once(rxt, stamp, label):
             track=TrackConfig(corrn=6, corrd=3, corrp=6),
             outms=400, rinex=True, rinexpath=rinexdir)
         t_build0 = time.time()
-        rx = Receiver(cfg, FileFrontend(rxt.CACHE, spec))
+        fe = FileFrontend(rxt.CACHE, spec)
+        rx = Receiver(cfg, fe)
+        if stream:
+            # live-mode ingest: short rolling segments (the live
+            # frontend default) instead of whole-capture HBM residency,
+            # so the pull-in phase is not contended by the batch upload
+            # — the honest TTFF for a real-time front end, where
+            # samples arrive paced anyway (nothing has touched the
+            # default cache yet; swapping it pre-run is safe)
+            from gnsslib_tpu.io.devcache import DeviceBlockCache
+            rx.cache = DeviceBlockCache(fe, rx.block_len, seg_blocks=16)
         stamp(f"{label}build")
         s = rx.run_seconds()
         t_end = time.time()
@@ -85,6 +95,9 @@ def main() -> int:
                     "set GNSSLIB_RXBENCH_SECONDS for 60 s lifecycle runs)")
     ap.add_argument("--twice", action="store_true",
                     help="run a second receiver in-process (warm)")
+    ap.add_argument("--stream", action="store_true",
+                    help="live-mode ingest (short rolling segments) "
+                    "instead of whole-capture HBM residency")
     args = ap.parse_args()
     if args.seconds is not None:
         _os.environ["GNSSLIB_RXBENCH_SECONDS"] = str(args.seconds)
@@ -103,8 +116,9 @@ def main() -> int:
     dev = jax.devices()[0].platform
     stamp("attach")
 
-    r1 = _run_once(rxt, stamp, "")
+    r1 = _run_once(rxt, stamp, "", stream=args.stream)
     out = dict(metric="ttff", unit="s",
+               mode="stream" if args.stream else "resident",
                synth_harness_s=synth_s,
                attach_s=marks["attach"],
                **{k: v for k, v in r1.items() if k != "timeline"},
@@ -112,7 +126,7 @@ def main() -> int:
     if args.twice:
         global T0
         T0 = time.time()
-        r2 = _run_once(rxt, stamp, "warm_")
+        r2 = _run_once(rxt, stamp, "warm_", stream=args.stream)
         out["warm"] = dict(**{k: v for k, v in r2.items()
                               if k != "timeline"}, **r2["timeline"])
     out["device"] = dev
