@@ -225,7 +225,19 @@ class ShardedAcquirer:
         self.acq = acq
         self.mesh = mesh
         self.axis = axis
-        self.mode = mode or ("freq" if acq.C < n else "ch")
+        if mode is None:
+            # freq mode's host shard assembly reads every F-shard, which
+            # a multi-controller process cannot do (shards on other
+            # hosts are non-addressable) — auto-select it only under a
+            # single controller; multi-host few-channel searches keep
+            # the channel mode (padded, allgathered below)
+            single = True
+            try:
+                single = jax.process_count() == 1
+            except Exception:               # pragma: no cover
+                pass
+            mode = "freq" if acq.C < n and single else "ch"
+        self.mode = mode
         ax = axis
         if self.mode == "freq":
             F = acq.nfreq

@@ -62,7 +62,14 @@ class _BgFetch:
     ``get()`` joins an already-landed result instead of stalling the
     pipeline.  Exceptions (e.g. the band correlator's out-of-band
     fail-loud) re-raise at ``get()`` — the same point the synchronous
-    collect raised."""
+    collect raised.
+
+    Deliberately a per-fetch DAEMON thread rather than a shared
+    ThreadPoolExecutor: pool threads are non-daemon and joined at
+    interpreter exit, so one fetch wedged in a hung relay get would
+    hang process shutdown — daemon threads let SIGTERM/exit proceed
+    (bench.py's parent relies on killing exactly that).  The churn is
+    one short-lived thread per block (~10-40/s), microseconds each."""
 
     __slots__ = ("_done", "_result", "_exc")
 

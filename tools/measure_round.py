@@ -14,7 +14,7 @@ artifact in-tree:
 3. receiver median    — >= 3 independent sessions (separate processes =
                         separate relay sessions) of the REAL
                         Receiver.run_seconds loop at the production
-                        config (pipelined/2000/d2, 40 s capture since
+                        config (pipelined/2000/d2, 60 s capture since
                         round 5), median steady-state
 4. ttff               — `tools/ttff.py --twice` cold-start latency
                         breakdown (round-5 addition)
@@ -101,7 +101,7 @@ def _run_child(cmd, timeout_s, want_tpu=True, retries=3, label=""):
 
 def _receiver_session() -> int:
     """Child mode: one receiver throughput session at the production
-    config — pipelined/2000/d2 on the 40 s capture since round 5 (the
+    config — pipelined/2000/d2 on the 60 s capture since round 5 (the
     background-fetch change made 2 s blocks the best configuration:
     fewest relay round trips per stream second once no read waits out
     the device queue; measured steady-avg 245.8 = 15.0x, p50 489 =
@@ -141,7 +141,7 @@ def main() -> int:
     ap.add_argument("--out", default=None)
     ap.add_argument("--sessions", type=int, default=3)
     ap.add_argument("--skip", default="",
-                    help="comma list of bench,acq,receiver to skip")
+                    help="comma list of bench,acq,receiver,ttff to skip")
     ap.add_argument("--receiver-session", action="store_true",
                     help=argparse.SUPPRESS)
     args = ap.parse_args()
@@ -213,45 +213,30 @@ def main() -> int:
             art["acq_failures"] = d
 
     if "ttff" not in skip:
-        print("== time-to-first-fix (ttff.py --twice)", flush=True)
-        r, d = _run_child(
-            [sys.executable, os.path.join(REPO, "tools", "ttff.py"),
-             "--twice"],
-            timeout_s=1200, want_tpu=True, retries=2, label="ttff")
         # ttff is a LATENCY artifact: smaller is better, and sessions
         # vary with relay weather — keep the run with the smaller FRESH
         # first_epoch (the headline cold-start number), warm as tiebreak
         def _ttff_key(t):
             return (t.get("first_epoch", 1e9),
                     t.get("warm", {}).get("first_epoch", 1e9))
-        old = art.get("ttff")
-        if (r is not None and old is not None
-                and old.get("device") == "tpu"
-                and _ttff_key(old) < _ttff_key(r)):
-            print("# ttff: keeping previous (faster first_epoch)",
-                  flush=True)
-            r = old
-        if r is not None:
-            art["ttff"] = r
-        if d:
-            art["ttff_failures"] = d
-        print("== time-to-first-fix, live-mode ingest (ttff.py "
-              "--stream)", flush=True)
-        r, d = _run_child(
-            [sys.executable, os.path.join(REPO, "tools", "ttff.py"),
-             "--twice", "--stream"],
-            timeout_s=1200, want_tpu=True, retries=2, label="ttff_stream")
-        old = art.get("ttff_stream")
-        if (r is not None and old is not None
-                and old.get("device") == "tpu"
-                and _ttff_key(old) < _ttff_key(r)):
-            print("# ttff_stream: keeping previous (faster first_epoch)",
-                  flush=True)
-            r = old
-        if r is not None:
-            art["ttff_stream"] = r
-        if d:
-            art["ttff_stream_failures"] = d
+        for key, extra in (("ttff", []), ("ttff_stream", ["--stream"])):
+            print(f"== time-to-first-fix ({key}: ttff.py --twice"
+                  + ("".join(" " + a for a in extra)) + ")", flush=True)
+            r, d = _run_child(
+                [sys.executable, os.path.join(REPO, "tools", "ttff.py"),
+                 "--twice", *extra],
+                timeout_s=1200, want_tpu=True, retries=2, label=key)
+            old = art.get(key)
+            if (r is not None and old is not None
+                    and old.get("device") == "tpu"
+                    and _ttff_key(old) < _ttff_key(r)):
+                print(f"# {key}: keeping previous (faster first_epoch)",
+                      flush=True)
+                r = old
+            if r is not None:
+                art[key] = r
+            if d:
+                art[f"{key}_failures"] = d
 
     if "receiver" not in skip:
         sessions = []

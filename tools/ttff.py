@@ -107,10 +107,16 @@ def main() -> int:
     def stamp(name):
         marks[name] = round(time.time() - T0, 2)
 
+    global T0
     import receiver_throughput as rxt
     t_synth0 = time.time()
     rxt.synthesize()                  # harness cost, reported separately
     synth_s = round(time.time() - t_synth0, 2)
+    # restart the clock AFTER the synthesis harness: on a cold /tmp
+    # cache it costs minutes and must not inflate attach/first_epoch
+    # (measure_round's keep-smaller-first_epoch rule would otherwise
+    # prefer warm-capture runs over faster cold-start code)
+    T0 = time.time()
     import jax
     stamp("jax_import")
     dev = jax.devices()[0].platform
@@ -124,7 +130,6 @@ def main() -> int:
                **{k: v for k, v in r1.items() if k != "timeline"},
                **r1["timeline"])
     if args.twice:
-        global T0
         T0 = time.time()
         r2 = _run_once(rxt, stamp, "warm_", stream=args.stream)
         out["warm"] = dict(**{k: v for k, v in r2.items()
