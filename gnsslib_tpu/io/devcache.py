@@ -45,7 +45,8 @@ class DeviceBlockCache:
     """
 
     def __init__(self, frontend, block_len: int, seg_blocks: int | None = None,
-                 prefetch: bool = True, max_bytes: float = 1.5e9):
+                 prefetch: bool = True, max_bytes: float = 1.5e9,
+                 first_seg_bytes: int = 48 * 1024 * 1024):
         self.fe = frontend
         self.block_len = int(block_len)
         if seg_blocks is None:
@@ -77,7 +78,7 @@ class DeviceBlockCache:
         # (sized in samples assuming the dominant int8 decode; a float32
         # stream's first segment is 4x the bytes — still far below a
         # whole capture)
-        fl_blocks = max(2, 48 * 1024 * 1024 // max(1, self.block_len))
+        fl_blocks = max(2, int(first_seg_bytes) // max(1, self.block_len))
         self._first_len = min(int(seg_blocks), fl_blocks) * self.block_len
         self._start = 0
         self._seg = None

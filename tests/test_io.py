@@ -276,3 +276,77 @@ def test_device_block_cache_widens_dtype_mid_stream():
     got2 = np.asarray(cache.get(9000, 3000))
     np.testing.assert_array_equal(got2, FE().read(9000, 3000))
     assert cache._np_dtype == np.int16
+
+
+def test_device_block_cache_cold_start_segments(tmp_path):
+    """Round-5 cold-start contract: the FIRST segment is short (~48 MB
+    worth of blocks, so the first acquisition decision is not gated on a
+    whole-capture upload), the full-size remainder prefetches
+    IMMEDIATELY (landing during pull-in), and every read across the
+    first/steady segment seam equals the direct read."""
+    import numpy as np
+    from gnsslib_tpu.constants import DType, FrontendType
+    from gnsslib_tpu.io.frontend import FileFrontend, FrontendSpec
+    from gnsslib_tpu.io.devcache import DeviceBlockCache
+
+    rng = np.random.default_rng(11)
+    raw = rng.integers(-128, 128, size=900000,
+                       endpoint=False).astype(np.int8)
+    p = tmp_path / "c.bin"
+    raw.tofile(p)
+    spec = FrontendSpec(fend=FrontendType.FILE, f_cf=1.57542e9, f_sf=4e6,
+                        f_if=1e6, dtype=DType.REAL)
+    fe = FileFrontend(str(p), spec)
+    blk = 5000
+    cache = DeviceBlockCache(fe, blk, seg_blocks=100,   # "whole capture"
+                             first_seg_bytes=50 * blk)
+    assert cache._first_len < cache.seg_len             # short first seg
+    got = np.asarray(cache.get(0, blk))
+    np.testing.assert_array_equal(got, fe.read(0, blk))
+    assert cache._cur_len == cache._first_len
+    assert cache._next is not None      # big remainder already in flight
+    # walk across the first-segment seam and beyond; every block exact
+    for start in range(0, 700000, blk):
+        np.testing.assert_array_equal(
+            np.asarray(cache.get(start, blk)), fe.read(start, blk),
+            err_msg=f"start={start}")
+    assert cache._cur_len == cache.seg_len              # steady segment
+
+
+def test_acquirer_subset_buckets():
+    """search_dev_start pads pending subsets to power-of-two buckets
+    (O(log C) compiled variants); subset results must match the full
+    search for the selected channels and report the rest unacquired."""
+    import numpy as np
+    from gnsslib_tpu import sim
+    from gnsslib_tpu.acquire import Acquirer
+    from gnsslib_tpu.constants import CodeType, DType
+
+    F_SF, F_IF, C = 1.023e6, 0.25575e6, 16
+    prns = list(range(1, C + 1))
+    acq = Acquirer(prns, [CodeType.L1CA] * C, F_SF, F_IF, DType.REAL,
+                   intg=3)
+    chans = [sim.SimChannel(prn=p, doppler=150.0 * p - 1000.0,
+                            code_phase=40.0 * p) for p in (2, 5, 9)]
+    data = np.asarray(sim.synthesize(chans, F_SF, F_IF, DType.REAL,
+                                     (acq.intg + 2) * acq.nsamp,
+                                     noise_std=0.5, seed=3), np.float32)
+    import jax.numpy as jnp
+    block = jnp.asarray(data)
+    full = acq.search_dev(block)
+    # 5-element subset -> 8-bucket (compiles the 8 variant, not a 5)
+    sub = [1, 4, 8, 11, 13]             # includes prns 2, 5, 9 (locked)
+    handle = acq.search_dev_start(block, idx=sub)
+    assert handle[1].shape[0] == 8      # padded decision vectors
+    res = acq.search_dev_collect(handle)
+    for i in sub:
+        assert res.codei[i] == full.codei[i]
+        assert res.freqi[i] == full.freqi[i]
+        assert bool(res.acquired[i]) == bool(full.acquired[i])
+    for i in set(range(C)) - set(sub):
+        assert not res.acquired[i]      # unsearched: unacquired
+    # a subset >= half of C rounds to the full grid (idx is dropped)
+    handle2 = acq.search_dev_start(block, idx=list(range(9)))
+    assert handle2[-1] is None
+    res2 = acq.search_dev_collect(handle2)
+    np.testing.assert_array_equal(res2.codei, full.codei)
