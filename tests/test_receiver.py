@@ -415,3 +415,30 @@ def test_build_receiver_cadence_groups():
                  ChannelConfig(prn=3, sys=SYS_GLO, ctype=CodeType.G1)])
     rx2 = build_receiver(homog, fe)
     assert isinstance(rx2, Receiver) and rx2.fast is not None
+
+
+def test_bg_fetch_defers_exception_to_scheduled_join():
+    """_BgFetch starts the blocking collect at dispatch on a daemon
+    thread but must re-raise a collect-time failure (e.g. the band
+    correlator's out-of-band fail-loud) at the SCHEDULED get(), the
+    same point the synchronous path raised — never swallow it, never
+    raise it on the fetch thread."""
+    import time
+
+    from gnsslib_tpu.runtime.receiver import _BgFetch
+
+    def boom():
+        raise RuntimeError("band out-of-band")
+
+    f = _BgFetch(boom)
+    time.sleep(0.05)                 # thread finished; nothing raised yet
+    try:
+        f.get()
+    except RuntimeError as e:
+        assert "out-of-band" in str(e)
+    else:
+        raise AssertionError("exception was swallowed")
+
+    # results come back exactly once, in any join order
+    vals = [_BgFetch(lambda v=v: v * 2) for v in range(5)]
+    assert [f.get() for f in reversed(vals)] == [8, 6, 4, 2, 0]
