@@ -103,6 +103,13 @@ class ShardedTracker:
         return jfn
 
     def run_block(self, state: TrackState, block, nsteps: int):
+        new_state, handle = self.run_block_start(state, block, nsteps)
+        return new_state, self.run_block_collect(handle)
+
+    def run_block_start(self, state: TrackState, block, nsteps: int):
+        """Dispatch-only half (same split as Tracker.run_block_start) so
+        mesh receivers pipeline the pull-in phase identically to
+        single-device ones."""
         C = self.trk.C
         carry = _pad_ch(self.trk._state_to_dict(state), self._npad)
         carry = jax.device_put(
@@ -114,12 +121,16 @@ class ShardedTracker:
         if self._npad:
             carry = jax.tree_util.tree_map(lambda x: x[:C], carry)
         new_state = self.trk._dict_to_state(carry, state)
+        return new_state, outs
+
+    def run_block_collect(self, outs) -> TrackOutputs:
+        C = self.trk.C
         if jax.process_count() > 1:
             # multi-controller: shards live on other hosts too
             from jax.experimental import multihost_utils
             outs = multihost_utils.process_allgather(outs, tiled=True)
         outs = {k: np.asarray(v)[:, :C] for k, v in outs.items()}
-        return new_state, TrackOutputs(**outs)
+        return TrackOutputs(**outs)
 
 
 class ShardedFastTracker:

@@ -288,7 +288,8 @@ class Receiver:
                  mesh=None, channels=None, cache=None,
                  pipeline_depth: int = 2, pipeline_acq: bool | None = None,
                  acq_pipeline_depth: int | None = None,
-                 precompile: bool | None = None):
+                 precompile: bool | None = None,
+                 pipeline_pullin: bool | None = None):
         self.cfg = cfg
         self.frontend = frontend
         self.standalone = standalone
@@ -320,6 +321,19 @@ class Receiver:
         # nothing.  Defaults to the telemetry pipelining flag.
         self.pipeline_acq = (pipeline if pipeline_acq is None
                              else bool(pipeline_acq))
+        # pipelined PULL-IN (pre-steady) blocks: same dispatch/collect
+        # split on the per-period scan engine.  Unlike the steady path
+        # this is NOT a pure scheduling change — the deferred host->
+        # device nav feedback (set_bit_sync, an absolute phase mod loop)
+        # lands up to ``depth`` blocks late, keeping a just-synced
+        # channel on prm1 cadence that much longer (bounded, benign:
+        # prm1 is the cadence that achieved the sync).  Measured v5e
+        # warm receiver (tools/ttff.py --twice, 32ch/12 present):
+        # first_lock->first_sync 9.7 -> 7.5 s, warm first_epoch
+        # 13.25 -> 10.95 s — the overlapped relay round trip + host nav
+        # work was ~25% of each pull-in block's wall.
+        self.pipeline_pullin = (pipeline if pipeline_pullin is None
+                                else bool(pipeline_pullin))
         self._acq_pipeline_depth_arg = acq_pipeline_depth
         # in-flight pipelined searches, oldest first:
         # (getter, base, t_disp, pend_idx)
@@ -1030,7 +1044,10 @@ class Receiver:
         if use_fast:
             self._mark("steady")
         pipelined = use_fast and self.pipeline
-        if not pipelined:
+        slow_eng = self._slow_eng
+        slow_pipe = (not use_fast and self.pipeline_pullin
+                     and hasattr(slow_eng, "run_block_start"))
+        if not (pipelined or slow_pipe):
             # the in-flight blocks (if any) may feed nav state the slow
             # path depends on (bit sync of a just-acquired channel uses
             # other channels only through the shared clock — but keep
@@ -1042,7 +1059,17 @@ class Receiver:
         cnt0 = self._cnt_host.copy()
         locked0 = [ch.locked for ch in self.channels]
         block = self.cache.get(self.base, self.block_len)
-        if pipelined:
+        if slow_pipe:
+            # pull-in pipelining: per-period scan dispatched now, nav fed
+            # when the block matures (see pipeline_pullin in __init__)
+            self.state, handle = slow_eng.run_block_start(
+                self.state, block, self.nsteps)
+            self._pending.append((
+                self._bg_fetch(slow_eng.run_block_collect, handle),
+                self.base, cnt0, locked0))
+            while len(self._pending) > self.pipeline_depth:
+                self._collect(*self._pending.pop(0))
+        elif pipelined:
             self.state, handle = self._fast_eng.run_block_start(
                 self.state, block, self.nsteps)
             # telemetry fetch starts on a background thread at dispatch

@@ -466,6 +466,18 @@ class Tracker:
         The caller guarantees max(loc) + nsteps*(n_nom+NSPAN) + nwin
         <= len(block).
         """
+        new_state, handle = self.run_block_start(state, block, nsteps)
+        return new_state, self.run_block_collect(handle)
+
+    def run_block_start(self, state: TrackState, block, nsteps: int):
+        """Dispatch a per-period block without fetching telemetry:
+        returns (new_state, handle) — the same split as
+        FastTracker.run_block_start, so the Receiver can pipeline the
+        PULL-IN phase too (dispatch block k+1 while block k's telemetry
+        crosses the relay and its nav host work runs).  The host->device
+        nav feedback this defers — set_bit_sync — is an absolute phase
+        (cnt ≡ sync_offset mod loop), so applying it a block or two late
+        only keeps the channel on prm1 cadence that much longer."""
         if hasattr(block, "dtype") and jnp.iscomplexobj(block):
             b = np.asarray(block)
             block = jnp.asarray(np.stack([b.real, b.imag], axis=-1)
@@ -474,8 +486,19 @@ class Tracker:
         carry, packf, packi = self._run(carry, block, self._consts,
                                         int(nsteps))
         new_state = self._dict_to_state(carry, state)
-        outs = self._unpack_outs(*jax.device_get((packf, packi)))
-        return new_state, TrackOutputs(**outs)
+        for a in (packf, packi):
+            # start the device->host copy as soon as the block finishes
+            # on device, overlapping the next block's compute
+            try:
+                a.copy_to_host_async()
+            except (AttributeError, NotImplementedError):  # pragma: no cover
+                pass
+        return new_state, (packf, packi)
+
+    def run_block_collect(self, handle) -> TrackOutputs:
+        """Fetch + unpack a run_block_start handle into TrackOutputs."""
+        return TrackOutputs(
+            **self._unpack_outs(*jax.device_get(handle)))
 
     def rebase(self, state: TrackState, advance: int) -> TrackState:
         """Shift block-relative sample offsets after the host advances the

@@ -208,9 +208,12 @@ def test_pipelined_matches_sequential(if_file):
             outms=400, rinex=False)
         # pipeline_acq=False isolates telemetry pipelining as a pure
         # scheduling change (async acquisition shifts locks one block —
-        # covered by test_acq_pipeline.py)
+        # covered by test_acq_pipeline.py; pipelined PULL-IN defers
+        # set_bit_sync and is NOT a pure scheduling change — covered by
+        # test_pullin_pipeline_equivalent)
         return Receiver(cfg, FileFrontend(str(path), spec),
-                        pipeline=pipeline, pipeline_acq=False)
+                        pipeline=pipeline, pipeline_acq=False,
+                        pipeline_pullin=False)
 
     rx_p = mk(True)
     rx_s = mk(False)
@@ -224,6 +227,74 @@ def test_pipelined_matches_sequential(if_file):
         assert cp.nav.flagdec == cs.nav.flagdec
         assert cp.hist.nrec == cs.hist.nrec
         np.testing.assert_array_equal(cp.hist.tow[:8], cs.hist.tow[:8])
+
+
+def test_pullin_pipeline_equivalent(if_file):
+    """Pipelined PULL-IN (per-period blocks dispatched depth-deep, nav
+    fed at maturity) defers set_bit_sync by up to pipeline_depth blocks
+    — a just-synced channel stays on prm1 cadence that much longer, so
+    outputs are NOT bit-identical to the synchronous pull-in.  The
+    divergence must be bounded: same locks, same bit sync, same
+    subframe decodes, and common-epoch observables within loop noise."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from gnsslib_tpu.io.frontend import FileFrontend, FrontendSpec
+    from gnsslib_tpu.constants import FrontendType
+    from gnsslib_tpu.runtime.config import ReceiverConfig, ChannelConfig
+    from gnsslib_tpu.runtime.receiver import Receiver
+    from gnsslib_tpu.track.state import TrackConfig
+
+    tmp, path = if_file
+    spec = FrontendSpec(fend=FrontendType.FILE, f_cf=1.57542e9, f_sf=F_SF,
+                        f_if=F_IF, dtype=DType.REAL)
+
+    def mk(pullin):
+        cfg = ReceiverConfig(
+            channels=[ChannelConfig(prn=3), ChannelConfig(prn=21)],
+            fends=[spec], files=[str(path)],
+            track=TrackConfig(corrn=4, corrd=2, corrp=2),
+            outms=400, rinex=False)
+        rx = Receiver(cfg, FileFrontend(str(path), spec),
+                      pipeline_acq=False, pipeline_pullin=pullin)
+        epochs = []
+        orig = rx.hub.emit_epochs
+
+        def record(inputs):
+            out = orig(inputs)
+            epochs.extend(out)
+            return out
+        rx.hub.emit_epochs = record
+        return rx, epochs
+
+    rx_p, ep_p = mk(True)
+    rx_s, ep_s = mk(False)
+    rx_p.run_seconds(seconds=20.0)
+    rx_s.run_seconds(seconds=20.0)
+    assert rx_p._pending == []
+    # identical acquisition (searches are their own pipeline), identical
+    # bit-sync outcome and subframe decodes
+    acq_p = sorted(e for e in rx_p.events if e[0] == "acq")
+    acq_s = sorted(e for e in rx_s.events if e[0] == "acq")
+    assert acq_p == acq_s
+    for cp, cs in zip(rx_p.channels, rx_s.channels):
+        assert cp.locked and cs.locked
+        assert cp.synced and cs.synced
+        assert cp.nav.flagdec == cs.nav.flagdec
+        # bit sync found the SAME bit boundary (the vote is on the raw
+        # IP sign stream, which late prm2 engagement does not change)
+        assert cp.nav.polarity == cs.nav.polarity
+        assert cp.nav.firstsftow == cs.nav.firstsftow
+    assert rx_p.ephs_written == rx_s.ephs_written
+    # common-epoch observables agree to loop noise
+    def by_tow(eps):
+        return {round(o[0].tow, 3): {x.prn: x for x in o} for o in eps}
+    tp, ts = by_tow(ep_p), by_tow(ep_s)
+    common = sorted(set(tp) & set(ts))
+    assert len(common) >= 3
+    t = common[-1]
+    for prn in (3, 21):
+        assert tp[t][prn].P == pytest.approx(ts[t][prn].P, abs=5.0)
+        assert tp[t][prn].D == pytest.approx(ts[t][prn].D, abs=0.5)
 
 
 def test_acq_pipeline_matches_sequential(if_file):
