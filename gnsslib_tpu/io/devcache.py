@@ -46,9 +46,13 @@ class DeviceBlockCache:
 
     def __init__(self, frontend, block_len: int, seg_blocks: int | None = None,
                  prefetch: bool = True, max_bytes: float = 1.5e9,
-                 first_seg_bytes: int = 48 * 1024 * 1024):
+                 first_seg_bytes: int = 48 * 1024 * 1024,
+                 latency_first: bool = True, stride: int | None = None):
         self.fe = frontend
         self.block_len = int(block_len)
+        self._chain_end = None
+        self._rungs = None
+        self._stride = int(stride) if stride else self.block_len
         if seg_blocks is None:
             # auto: cover the WHOLE stream when it fits the byte budget —
             # post-processing captures (60 s @ 16.368 Msps int8 = 1 GB)
@@ -65,6 +69,23 @@ class DeviceBlockCache:
             want = (-(-int(total) // self.block_len) + 1
                     if total else 16)
             seg_blocks = min(cap, max(16, want))
+            # LATENCY-FIRST ladder (round 5, measured on v5e): with the
+            # whole-capture auto segment, the first block past the short
+            # first segment waits fut.result() on the ENTIRE remainder
+            # upload (327 MB ≈ 8 s through the relay tunnel during the
+            # ttff pull-in — profiled: 8.0 of the 9.6 s warm pull-in
+            # wall was cache.get).  Instead, ship the capture as a chain
+            # of uniform ~first_seg_bytes rungs submitted back-to-back
+            # on the worker: the tunnel streams at the same total rate,
+            # but the cursor waits only for the rung covering ITS block
+            # — during pull-in (<= ~2x real-time) it never outruns the
+            # 2.5-4.3x real-time tunnel at all.  Post-processing
+            # throughput tools that measure the HBM-resident steady
+            # state pass latency_first=False to keep the single big
+            # prefetch out of their measured window
+            # (tools/receiver_throughput.py).
+            if latency_first and prefetch and total and want <= cap:
+                self._chain_end = int(seg_blocks) * self.block_len
         self.seg_len = int(seg_blocks) * self.block_len
         # FIRST segment short (cold-start fix, round 5): a whole-capture
         # segment is one giant host->device transfer (327 MB for the
@@ -153,9 +174,56 @@ class DeviceBlockCache:
         w = jax.lax.dynamic_slice_in_dim(seg, off, self.block_len, axis=0)
         return w.astype(jnp.float32)
 
+    def _build_rungs(self, origin: int) -> None:
+        """Uniform-rung upload chain over [origin, origin+_chain_end):
+        rung length = the first-segment length (>= stride + block_len),
+        rung stride = the largest multiple of the caller's block stride
+        that keeps every block start covered (overlap = block slack
+        only, ~40 KB, when the Receiver passes its true stride).  Rung 0
+        loads synchronously; the rest queue on the single worker in
+        order, so waiting on rung k's future never waits on k+1."""
+        L = max(self._first_len, self._stride + self.block_len)
+        K = max(1, (L - self.block_len) // self._stride)
+        end = origin + self._chain_end
+        rungs, s = [], origin
+        while s + self.block_len <= end:
+            Li = min(L, end - s)
+            rungs.append([s, Li, None])
+            if s + Li >= end:
+                break
+            s += K * self._stride
+        rungs[0][2] = self._load(rungs[0][0], rungs[0][1])
+        for r in rungs[1:]:
+            r[2] = self._exec.submit(self._load, r[0], r[1])
+        self._rungs = rungs
+
+    def _get_chain(self, start: int, n: int):
+        if self._rungs is None:
+            self._build_rungs(start)
+        hit = None
+        for r in self._rungs:
+            if r[0] + r[1] <= start:
+                r[2] = "evicted"         # cursor passed: free the HBM
+            elif hit is None and r[0] <= start and start + n <= r[0] + r[1]:
+                hit = r
+        if hit is None:                  # seek outside the ladder
+            # (checkpoint resume/rewind): rolling fallback
+            if self._seg is None or start < self._start or \
+                    start + n > self._start + self._cur_len:
+                self._seg = self._load(start, self.seg_len)
+                self._start, self._cur_len = start, self.seg_len
+            return self._slice(self._seg, start - self._start)
+        if hit[2] == "evicted":          # revisit after eviction
+            hit[2] = self._load(hit[0], hit[1])
+        elif isinstance(hit[2], concurrent.futures.Future):
+            hit[2] = hit[2].result()
+        return self._slice(hit[2], start - hit[0])
+
     def get(self, start: int, n: int):
         if n != self.block_len:
             raise ValueError(f"block length {n} != {self.block_len}")
+        if self._chain_end is not None:
+            return self._get_chain(start, n)
         if self._seg is None or start < self._start or \
                 start + n > self._start + self._cur_len:
             self._upload(start)

@@ -417,7 +417,8 @@ class Receiver:
             # whole-capture HBM residency
             seg = 4 if getattr(frontend, "is_live", False) else None
             self.cache = DeviceBlockCache(frontend, self.block_len,
-                                          seg_blocks=seg)
+                                          seg_blocks=seg,
+                                          stride=self.nsteps * self.nsamp)
         self.base = 0                      # abs sample index of block start
         self.channels = []
         for i, c in enumerate(chans):

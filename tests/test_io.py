@@ -313,6 +313,48 @@ def test_device_block_cache_cold_start_segments(tmp_path):
     assert cache._cur_len == cache.seg_len              # steady segment
 
 
+def test_device_block_cache_latency_ladder(tmp_path):
+    """Round-5 latency-first ladder: the default (auto-sized, total
+    known) cache ships the capture as a chain of uniform rungs instead
+    of short-first + whole-remainder, so a pull-in cursor waits only for
+    the rung covering its block, never the whole upload.  Contract:
+    every block across every rung seam equals the direct read; passed
+    rungs are evicted and a revisit reloads exactly."""
+    import numpy as np
+    from gnsslib_tpu.constants import DType, FrontendType
+    from gnsslib_tpu.io.frontend import FileFrontend, FrontendSpec
+    from gnsslib_tpu.io.devcache import DeviceBlockCache
+
+    rng = np.random.default_rng(12)
+    raw = rng.integers(-128, 128, size=950000,
+                       endpoint=False).astype(np.int8)
+    p = tmp_path / "ld.bin"
+    raw.tofile(p)
+    spec = FrontendSpec(fend=FrontendType.FILE, f_cf=1.57542e9, f_sf=4e6,
+                        f_if=1e6, dtype=DType.REAL)
+    fe = FileFrontend(str(p), spec)
+    blk, stride = 5000, 4600            # receiver-style slack
+    cache = DeviceBlockCache(fe, blk, first_seg_bytes=6 * blk,
+                             stride=stride)
+    assert cache._chain_end is not None
+    got = np.asarray(cache.get(0, blk))
+    np.testing.assert_array_equal(got, fe.read(0, blk))
+    assert len(cache._rungs) > 3        # a real ladder, not one segment
+    # receiver walk: stride-spaced block starts across all rung seams
+    # and through EOF zero-pad
+    for start in range(0, 940000, stride):
+        np.testing.assert_array_equal(
+            np.asarray(cache.get(start, blk)), fe.read(start, blk),
+            err_msg=f"start={start}")
+    assert any(r[2] == "evicted" for r in cache._rungs)   # HBM freed
+    # revisit an evicted rung (checkpoint resume): exact reload
+    np.testing.assert_array_equal(np.asarray(cache.get(0, blk)),
+                                  fe.read(0, blk))
+    # off-grid seek (mid-rung, not on the stride grid): still exact
+    np.testing.assert_array_equal(np.asarray(cache.get(123457, blk)),
+                                  fe.read(123457, blk))
+
+
 def test_acquirer_subset_buckets():
     """search_dev_start pads pending subsets to power-of-two buckets
     (O(log C) compiled variants); subset results must match the full

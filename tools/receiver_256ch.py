@@ -53,8 +53,17 @@ def main() -> int:
     depth = int(_os.environ.get("GNSSLIB_256CH_DEPTH", "2"))
 
     def build():
-        return Receiver(cfg, FileFrontend(rxt.CACHE, spec),
-                        nsteps_per_block=nsteps, pipeline_depth=depth)
+        rx = Receiver(cfg, FileFrontend(rxt.CACHE, spec),
+                      nsteps_per_block=nsteps, pipeline_depth=depth)
+        # post-processing throughput mode (see receiver_throughput.py):
+        # this tool measures the HBM-resident steady state, so keep the
+        # whole-capture prefetch out of the measured window instead of
+        # the receiver's default latency-first rung ladder
+        from gnsslib_tpu.io.devcache import DeviceBlockCache
+        rx.cache = DeviceBlockCache(rx.frontend, rx.block_len,
+                                    latency_first=False,
+                                    stride=rx.nsteps * rx.nsamp)
+        return rx
 
     T = {}
 
